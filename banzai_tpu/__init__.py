@@ -1,0 +1,70 @@
+"""banzai_tpu — a TPU-native bzip2 encoder framework.
+
+A from-scratch re-design of the capabilities of the reference encoder
+(jgbyrne/banzai, a Rust SA-IS bzip2 encoder) for TPU hardware: the per-block
+pipeline (RLE1 -> BWT -> MTF -> RLE2 -> Huffman -> bit-pack) runs as batched
+JAX/XLA/Pallas array transforms over a device mesh, with a thin host layer
+for streaming I/O, .bz2 container framing, ordered block stitching, and the
+combined stream CRC.
+
+Public API (mirrors the reference crate API, lib/lib.rs:84-153):
+
+* ``compress(data, level=9, backend=...) -> bytes``
+* ``encode(reader, writer, level=9, backend=...)``
+* ``encode_file(input_path, output_path)``
+"""
+
+from __future__ import annotations
+
+import io
+from typing import BinaryIO
+
+__version__ = "0.1.0"
+
+_BACKENDS = ("auto", "numpy", "jax")
+
+
+def compress(data: bytes, level: int = 9, backend: str = "auto") -> bytes:
+    """One-shot encode of ``data`` at ``level`` (block size level*100kB)."""
+    if not 1 <= level <= 9:
+        raise ValueError(f"level must be in 1..9, got {level}")
+    if backend not in _BACKENDS:
+        raise ValueError(f"backend must be one of {_BACKENDS}")
+    if backend == "auto":
+        backend = "jax" if _jax_usable() else "numpy"
+    if backend == "jax":
+        from .pipeline import compress as jax_compress
+
+        return jax_compress(data, level)
+    from .encoder_host import compress as np_compress
+
+    return np_compress(data, level)
+
+
+def encode(
+    reader: BinaryIO, writer: BinaryIO, level: int = 9, backend: str = "auto"
+) -> int:
+    """Stream-encode ``reader`` into ``writer``; returns bytes written.
+
+    Matches the reference crate's ``encode`` entry point (lib/lib.rs:84).
+    """
+    data = reader.read()
+    out = compress(data, level, backend)
+    writer.write(out)
+    return len(out)
+
+
+def encode_file(input_path: str, output_path: str, level: int = 9) -> None:
+    """File-to-file encode (reference: encode_file, lib/lib.rs:141-153;
+    note the reference fixes level at 9 there — we default to 9 too)."""
+    with open(input_path, "rb") as fin, open(output_path, "wb") as fout:
+        encode(fin, fout, level)
+
+
+def _jax_usable() -> bool:
+    try:
+        import jax  # noqa: F401
+
+        return True
+    except Exception:
+        return False

@@ -1,0 +1,275 @@
+"""Production entropy stage (host/NumPy reference implementation).
+
+Design goals (SURVEY.md §7): strictly better compression than the banzai
+model so that output size <= banzai at every level, with an algorithm whose
+hot parts are matrix-shaped (segment-histogram x length-table products) and
+therefore map directly onto the TPU implementation in ops/huffman.py.
+
+Differences from both banzai and reference bzip2:
+
+* Code lengths come from boundary package-merge — *optimal* length-limited
+  (<=17 bit) codes, instead of heuristic frequency-halving
+  (lib/huffman.rs:271-298).
+* Group refinement uses the correct bzip2 semantics (fresh per-iteration
+  frequency accumulators, cheap-in-range initial tables), not banzai's
+  quirks (SURVEY.md §2.5).
+* The table count is chosen *adaptively*: refinement is run for every
+  num_tables in 2..6 plus a degenerate single-table candidate, and the
+  candidate with the fewest total bits (selectors + table deltas + payload)
+  wins.  This dominates both banzai's alphabet-keyed choice and bzip2's
+  MTF-length thresholds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bitio import BitWriter
+from .constants import CODEWORD_MAX_LEN, MAX_TABLES, MIN_TABLES, SEGMENT_WIDTH
+
+
+# ---------------------------------------------------------------------------
+# Optimal length-limited code lengths: boundary package-merge
+# ---------------------------------------------------------------------------
+
+def pm_code_lengths(
+    freqs: np.ndarray, limit: int = CODEWORD_MAX_LEN
+) -> np.ndarray:
+    """Package-merge optimal code lengths with max length ``limit``.
+
+    Zero frequencies are clamped to 1 (every symbol needs a code in the
+    bzip2 table format).  Returns uint8 lengths in [1, limit].
+    """
+    w = np.maximum(np.asarray(freqs, dtype=np.int64), 1)
+    n = len(w)
+    if n == 1:
+        return np.ones(1, dtype=np.uint8)
+    order = np.argsort(w, kind="stable")
+    ws = w[order]
+    # Packages as (weight, leaf-count-vector) rows; counts fit in uint8
+    # because each leaf appears at most `limit` times in a chosen set.
+    pkg_w = ws.copy()
+    pkg_c = np.eye(n, dtype=np.uint8)
+    for _ in range(limit - 1):
+        m = len(pkg_w) & ~1
+        pair_w = pkg_w[0:m:2] + pkg_w[1:m:2]
+        pair_c = pkg_c[0:m:2] + pkg_c[1:m:2]
+        merged_w = np.concatenate((ws, pair_w))
+        merged_c = np.concatenate((np.eye(n, dtype=np.uint8), pair_c))
+        srt = np.argsort(merged_w, kind="stable")
+        pkg_w = merged_w[srt]
+        pkg_c = merged_c[srt]
+    take = 2 * n - 2
+    lengths_sorted = pkg_c[:take].sum(axis=0, dtype=np.int64)
+    lengths = np.empty(n, dtype=np.uint8)
+    lengths[order] = lengths_sorted.astype(np.uint8)
+    return lengths
+
+
+# ---------------------------------------------------------------------------
+# Refinement driver (correct bzip2 semantics, matrix-shaped)
+# ---------------------------------------------------------------------------
+
+def segment_histogram(syms: np.ndarray, num_syms: int) -> np.ndarray:
+    """Per-50-symbol-segment histogram matrix [nseg, num_syms]."""
+    syms = np.asarray(syms, dtype=np.int64)
+    n = len(syms)
+    nseg = (n + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
+    hist = np.zeros((nseg, num_syms), dtype=np.int64)
+    np.add.at(hist, (np.arange(n) // SEGMENT_WIDTH, syms), 1)
+    return hist
+
+
+def _initial_tables(freqs: np.ndarray, num_syms: int, nt: int) -> np.ndarray:
+    """Contiguous ~equal-frequency partition; in-range symbols cheap (0),
+    out-of-range expensive (15) — the non-inverted variant."""
+    tables = np.full((nt, num_syms), 15, dtype=np.int64)
+    total = int(freqs.sum())
+    remaining = total
+    sym_left = 0
+    for t in range(nt):
+        target = remaining // (nt - t)
+        acc = 0
+        sym_right = sym_left
+        while True:
+            acc += int(freqs[sym_right])
+            if acc >= target or sym_right + 1 == num_syms:
+                break
+            sym_right += 1
+        tables[t, sym_left : sym_right + 1] = 0
+        sym_left = min(sym_right + 1, num_syms - 1)
+        remaining -= acc
+    return tables
+
+
+def refine_tables(
+    hist: np.ndarray, freqs: np.ndarray, num_syms: int, nt: int,
+    iterations: int = 4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy table/selector refinement with fresh accumulators per sweep.
+
+    Returns (tables[nt, num_syms] uint8 lengths, selectors[nseg] int64).
+    The cost sweep is one [nseg, num_syms] @ [num_syms, nt] product —
+    the MXU-shaped hot op on device.
+    """
+    tables = _initial_tables(freqs, num_syms, nt)
+    selectors = np.zeros(len(hist), dtype=np.int64)
+    # float32 matmul is exact here (all values are small integers) and hits
+    # BLAS on host / the MXU on device.
+    hist_f = hist.astype(np.float32)
+    for _ in range(iterations):
+        costs = hist_f @ tables.T.astype(np.float32)   # [nseg, nt]
+        selectors = np.argmin(costs, axis=1)           # first-wins on ties
+        new_tables = np.empty_like(tables)
+        for t in range(nt):
+            tf = hist[selectors == t].sum(axis=0)
+            new_tables[t] = pm_code_lengths(tf)
+        tables = new_tables
+    return tables.astype(np.uint8), selectors
+
+
+# ---------------------------------------------------------------------------
+# Exact bit-cost accounting and candidate selection
+# ---------------------------------------------------------------------------
+
+def selector_bits(selectors: np.ndarray, nt: int) -> int:
+    """Unary-MTF cost of the selector list (lib/huffman.rs:471-503)."""
+    stack = list(range(nt))
+    bits = 0
+    for sel in selectors:
+        idx = stack.index(int(sel))
+        bits += idx + 1
+        if idx:
+            stack.pop(idx)
+            stack.insert(0, int(sel))
+    return bits
+
+
+def table_delta_bits(tables: np.ndarray) -> int:
+    """Delta-coding cost: 5 + per symbol 2*|delta| + 1."""
+    t = np.asarray(tables, dtype=np.int64)
+    deltas = np.abs(np.diff(t, axis=1)).sum(axis=1)
+    # First symbol: acc starts at t[0] so its delta is 0.
+    return int((5 + t.shape[1] + 2 * deltas).sum())
+
+
+def payload_bits(
+    hist: np.ndarray, tables: np.ndarray, selectors: np.ndarray
+) -> int:
+    lens = np.asarray(tables, dtype=np.int64)
+    return int((hist * lens[selectors]).sum())
+
+
+@dataclass
+class EntropyPlan:
+    num_tables: int
+    tables: np.ndarray      # uint8 [nt, num_syms]
+    selectors: np.ndarray   # int64 [nseg]
+    total_bits: int         # excl. the 3+15 fixed header bits
+
+
+def plan_entropy(
+    syms: np.ndarray, num_syms: int, freqs: np.ndarray
+) -> EntropyPlan:
+    """Pick the cheapest candidate across table counts."""
+    hist = segment_histogram(syms, num_syms)
+    candidates: list[EntropyPlan] = []
+
+    # Degenerate single-table candidate: both tables identical, selectors 0.
+    single = pm_code_lengths(freqs)
+    stables = np.stack([single, single])
+    ssel = np.zeros(len(hist), dtype=np.int64)
+    candidates.append(
+        EntropyPlan(
+            2, stables, ssel,
+            selector_bits(ssel, 2)
+            + table_delta_bits(stables)
+            + payload_bits(hist, stables, ssel),
+        )
+    )
+
+    max_nt = min(MAX_TABLES, max(MIN_TABLES, num_syms))
+    for nt in range(MIN_TABLES, max_nt + 1):
+        tables, selectors = refine_tables(hist, freqs, num_syms, nt)
+        bits = (
+            selector_bits(selectors, nt)
+            + table_delta_bits(tables)
+            + payload_bits(hist, tables, selectors)
+        )
+        candidates.append(EntropyPlan(nt, tables, selectors, bits))
+
+    return min(candidates, key=lambda c: c.total_bits)
+
+
+# ---------------------------------------------------------------------------
+# Emission (shared format-level helpers)
+# ---------------------------------------------------------------------------
+
+def canonical_codes(lengths: np.ndarray) -> np.ndarray:
+    """uint32 codewords per symbol, canonical (length, symbol) order
+    (format per lib/huffman.rs:547-561).  Vectorized."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    # Sort by (length, symbol); assign sequential words per length with a
+    # left shift between length steps: word = (count of shorter-or-earlier).
+    order = np.lexsort((np.arange(len(lengths)), lengths))
+    sorted_lens = lengths[order]
+    words = np.zeros(len(lengths), dtype=np.int64)
+    word = 0
+    prev_len = sorted_lens[0]
+    for rank, s in enumerate(order):       # <=258 iterations, host-trivial
+        l = sorted_lens[rank]
+        word <<= (l - prev_len)
+        words[s] = word
+        word += 1
+        prev_len = l
+    return words.astype(np.uint32)
+
+
+def write_selectors(bw: BitWriter, selectors, num_tables: int) -> None:
+    """Selectors, MTF + unary coded (format per lib/huffman.rs:471-503)."""
+    stack = list(range(num_tables))
+    for sel in selectors:
+        idx = stack.index(int(sel))
+        if idx:
+            stack.pop(idx)
+            stack.insert(0, int(sel))
+        bw.write_bits((1 << (idx + 1)) - 2, idx + 1)
+
+
+def write_table_deltas(bw: BitWriter, table) -> None:
+    """Delta-coded code lengths (format per lib/huffman.rs:505-545)."""
+    acc = int(table[0])
+    bw.write_bits(acc, 5)
+    for l in table:
+        l = int(l)
+        while l != acc:
+            if l > acc:
+                bw.write_bits(2, 2)
+                acc += 1
+            else:
+                bw.write_bits(3, 2)
+                acc -= 1
+        bw.write_bits(0, 1)
+
+
+def write_entropy(
+    bw: BitWriter, syms: np.ndarray, plan: EntropyPlan
+) -> None:
+    bw.write_bits(plan.num_tables, 3)
+    bw.write_bits(len(plan.selectors), 15)
+    write_selectors(bw, plan.selectors.tolist(), plan.num_tables)
+    code_words = []
+    for t in range(plan.num_tables):
+        write_table_deltas(bw, plan.tables[t].tolist())
+        code_words.append(canonical_codes(plan.tables[t]))
+    # Payload: vectorized codeword lookup + numpy bit pack, then splice.
+    from .bitio import pack_bits_numpy
+
+    syms = np.asarray(syms, dtype=np.int64)
+    sel_per_sym = plan.selectors[np.arange(len(syms)) // SEGMENT_WIDTH]
+    words = np.stack(code_words)[sel_per_sym, syms].astype(np.uint64)
+    lens = plan.tables[sel_per_sym, syms].astype(np.uint64)
+    packed, nbits = pack_bits_numpy(words, lens)
+    bw.splice_words(packed, nbits)

@@ -84,23 +84,16 @@ def segment_histogram(syms: np.ndarray, num_syms: int) -> np.ndarray:
 
 def _initial_tables(freqs: np.ndarray, num_syms: int, nt: int) -> np.ndarray:
     """Contiguous ~equal-frequency partition; in-range symbols cheap (0),
-    out-of-range expensive (15) — the non-inverted variant."""
-    tables = np.full((nt, num_syms), 15, dtype=np.int64)
-    total = int(freqs.sum())
-    remaining = total
-    sym_left = 0
-    for t in range(nt):
-        target = remaining // (nt - t)
-        acc = 0
-        sym_right = sym_left
-        while True:
-            acc += int(freqs[sym_right])
-            if acc >= target or sym_right + 1 == num_syms:
-                break
-            sym_right += 1
-        tables[t, sym_left : sym_right + 1] = 0
-        sym_left = min(sym_right + 1, num_syms - 1)
-        remaining -= acc
+    out-of-range expensive (15).  Closed-form owner rule shared with the
+    device twin (ops/huffman.initial_tables): symbol s belongs to table
+    floor((cumfreq_incl(s)-1) * nt / total)."""
+    f = np.maximum(np.asarray(freqs[:num_syms], dtype=np.int64), 0)
+    cum = np.cumsum(f)
+    total = max(int(cum[-1]), 1)
+    owner = np.clip((np.maximum(cum - 1, 0) * nt) // total, 0, nt - 1)
+    tables = np.where(
+        owner[None, :] == np.arange(nt)[:, None], 0, 15
+    ).astype(np.int64)
     return tables
 
 

@@ -1,0 +1,220 @@
+"""Entropy planning on device: batched package-merge + group refinement.
+
+Everything here is statically shaped and jit/vmap-safe; the hot ops are
+matrix products ([NSEG, 258] segment histograms against length tables) that
+land on the MXU, batched sorts, and small scans — no data-dependent Python.
+
+Algorithm (mirrors huffman_host.py, its differential oracle):
+  * optimal 17-bit-limited code lengths by boundary package-merge, batched
+    over (candidate, table);
+  * 4 refinement sweeps with correct bzip2 semantics (fresh accumulators);
+  * candidates: num_tables 2..6 plus a degenerate single-table plan; exact
+    bit-cost accounting (selector unary-MTF, table deltas, payload) picks
+    the winner on device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import CODEWORD_MAX_LEN, SEGMENT_WIDTH
+
+S = 258          # padded symbol alphabet
+T = 6            # max tables
+NC = 6           # candidates: single-table + nt in {2..6}
+_INF_W = jnp.int32(1 << 26)
+_BIG = jnp.float32(1e9)
+
+
+def segment_hist(syms: jax.Array, out_len: jax.Array, nseg: int) -> jax.Array:
+    """[nseg, S] float32 histogram of 50-symbol segments."""
+    M = syms.shape[0]
+    pos = jnp.arange(M, dtype=jnp.int32)
+    live = pos < out_len
+    seg = jnp.where(live, pos // SEGMENT_WIDTH, nseg)
+    sym = jnp.where(live, syms, S)
+    hist = (
+        jnp.zeros((nseg + 1, S + 1), jnp.float32)
+        .at[seg, sym]
+        .add(1.0)
+    )
+    return hist[:nseg, :S]
+
+
+def pm_lengths(freqs: jax.Array, num_syms: jax.Array) -> jax.Array:
+    """Batched package-merge code lengths.
+
+    Args:
+      freqs: int32 [..., S] (absent symbols ignored via ``num_syms`` mask).
+      num_syms: int32 true alphabet size (3..258).
+    Returns:
+      int32 [..., S] lengths: in [1, 17] for s < num_syms, else 0.
+    """
+    sym_ids = jnp.arange(S, dtype=jnp.int32)
+    w = jnp.where(sym_ids < num_syms, jnp.maximum(freqs, 1), _INF_W)
+    iota = jnp.broadcast_to(sym_ids, w.shape)
+    ws, worder = jax.lax.sort((w, iota), num_keys=1, dimension=w.ndim - 1)
+    leaves_c = jax.nn.one_hot(worder, S, dtype=jnp.uint8)       # [..., S, S]
+
+    pad_w = jnp.full(ws.shape[:-1] + (S,), _INF_W, jnp.int32)
+    pw = jnp.concatenate([ws, pad_w], axis=-1)                  # [..., 2S]
+    pc = jnp.concatenate(
+        [leaves_c, jnp.zeros_like(leaves_c)], axis=-2
+    )                                                           # [..., 2S, S]
+
+    def level(_, carry):
+        pw, pc = carry
+        pair_w = jnp.minimum(pw[..., 0::2] + pw[..., 1::2], _INF_W)
+        pair_c = pc[..., 0::2, :] + pc[..., 1::2, :]
+        mw = jnp.concatenate([ws, pair_w], axis=-1)
+        mc = jnp.concatenate([leaves_c, pair_c], axis=-2)
+        srt_iota = jnp.broadcast_to(
+            jnp.arange(2 * S, dtype=jnp.int32), mw.shape
+        )
+        pw2, perm = jax.lax.sort(
+            (mw, srt_iota), num_keys=1, dimension=mw.ndim - 1
+        )
+        pc2 = jnp.take_along_axis(mc, perm[..., :, None], axis=-2)
+        return pw2, pc2
+
+    pw, pc = jax.lax.fori_loop(
+        0, CODEWORD_MAX_LEN - 1, level, (pw, pc), unroll=True
+    )
+    take = 2 * num_syms - 2
+    row_mask = (jnp.arange(2 * S, dtype=jnp.int32) < take).astype(jnp.int32)
+    lens = jnp.sum(pc.astype(jnp.int32) * row_mask[..., :, None], axis=-2)
+    return jnp.where(sym_ids < num_syms, lens, 0)
+
+
+def initial_tables(freqs: jax.Array, num_syms: jax.Array) -> jax.Array:
+    """Initial partition lengths for every candidate: int32 [NC-1, T, S].
+
+    Symbol s goes to table floor(cumfreq_incl(s)-1) * nt / total; in-range
+    symbols cost 0, others 15 (the cheap-in-range variant; shared rule with
+    huffman_host._initial_tables so host/device twins match exactly).
+    """
+    sym_ids = jnp.arange(S, dtype=jnp.int32)
+    f = jnp.where(sym_ids < num_syms, jnp.maximum(freqs, 0), 0)
+    cum = jnp.cumsum(f)
+    total = jnp.maximum(cum[-1], 1)
+    out = []
+    for nt in range(2, T + 1):
+        owner = jnp.clip(
+            (jnp.maximum(cum - 1, 0) * nt) // total, 0, nt - 1
+        )
+        tbl = jnp.where(
+            owner[None, :] == jnp.arange(T, dtype=jnp.int32)[:, None], 0, 15
+        )
+        out.append(tbl)
+    return jnp.stack(out).astype(jnp.int32)      # [5, T, S]
+
+
+def selector_mtf(sel: jax.Array, nseg_used: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Unary-MTF indices and total bits of a selector sequence.
+
+    sel: int32 [..., NSEG]; returns (idx int32 [..., NSEG], bits int32).
+    Closed form via per-table last-occurrence (no sequential scan).
+    """
+    nseg = sel.shape[-1]
+    seg_pos = jnp.arange(nseg, dtype=jnp.int32)
+    t_ids = jnp.arange(T, dtype=jnp.int32)
+    marked = jnp.where(
+        sel[..., :, None] == t_ids, seg_pos[:, None], -1
+    )                                                   # [..., NSEG, T]
+    last_incl = jax.lax.cummax(marked, axis=marked.ndim - 2)
+    last = jnp.concatenate(
+        [
+            jnp.full(last_incl.shape[:-2] + (1, T), -1, jnp.int32),
+            last_incl[..., :-1, :],
+        ],
+        axis=-2,
+    )                                                   # exclusive
+    prev = jnp.take_along_axis(last, sel[..., :, None], axis=-1)[..., 0]
+    seen = last >= 0
+    idx_seen = jnp.sum(
+        (last > prev[..., None]).astype(jnp.int32), axis=-1
+    )
+    n_seen = jnp.sum(seen.astype(jnp.int32), axis=-1)
+    n_seen_lt = jnp.sum(
+        (seen & (t_ids < sel[..., :, None])).astype(jnp.int32), axis=-1
+    )
+    idx = jnp.where(prev >= 0, idx_seen, n_seen + sel - n_seen_lt)
+    live = (seg_pos < nseg_used).astype(jnp.int32)
+    bits = jnp.sum((idx + 1) * live, axis=-1)
+    return idx, bits
+
+
+def table_delta_bits(tables: jax.Array, num_syms: jax.Array) -> jax.Array:
+    """Delta-coding cost per table set: int32 [...] summed over the last two
+    axes (T tables x S symbols); only s < num_syms emit."""
+    t = tables
+    d = jnp.abs(t[..., 1:] - t[..., :-1])
+    col = jnp.arange(1, S, dtype=jnp.int32)
+    d = jnp.where(col < num_syms, d, 0)
+    per_table = 5 + num_syms + 2 * jnp.sum(d, axis=-1)
+    return jnp.sum(per_table, axis=-1)
+
+
+def plan_entropy_device(
+    syms: jax.Array, out_len: jax.Array, freqs: jax.Array,
+    num_syms: jax.Array, nseg: int,
+) -> dict:
+    """Full candidate search; returns the winning plan (padded shapes)."""
+    hist = segment_hist(syms, out_len, nseg)           # [NSEG, S] f32
+    nseg_used = (out_len + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
+
+    # --- refinement for nt = 2..6, batched ---------------------------------
+    tables = initial_tables(freqs, num_syms).astype(jnp.float32)  # [5,T,S]
+    nt_arr = jnp.arange(2, T + 1, dtype=jnp.int32)                # [5]
+    valid_t = jnp.arange(T, dtype=jnp.int32)[None, :] < nt_arr[:, None]
+    sel = None
+    for _ in range(4):
+        costs = jnp.einsum("sa,cta->cst", hist, tables)           # [5,NSEG,T]
+        costs = costs + jnp.where(valid_t[:, None, :], 0.0, _BIG)
+        sel = jnp.argmin(costs, axis=-1).astype(jnp.int32)        # [5,NSEG]
+        onehot = jax.nn.one_hot(sel, T, dtype=jnp.float32)        # [5,NSEG,T]
+        tf = jnp.einsum("cst,sa->cta", onehot, hist)              # [5,T,S]
+        tables = pm_lengths(
+            tf.astype(jnp.int32), num_syms
+        ).astype(jnp.float32)
+    tables_i = tables.astype(jnp.int32)                           # [5,T,S]
+
+    sel_idx, sel_bits = selector_mtf(sel, nseg_used)              # [5,...]
+    # nt-dependent table-def cost: only tables t < nt are emitted.
+    d = jnp.abs(tables_i[..., 1:] - tables_i[..., :-1])
+    d = jnp.where(jnp.arange(1, S, dtype=jnp.int32)[None, None, :] < num_syms, d, 0)
+    per_table = 5 + num_syms + 2 * jnp.sum(d, axis=-1)            # [5,T]
+    delta_bits = jnp.sum(jnp.where(valid_t, per_table, 0), axis=-1)
+    sel_onehot = jax.nn.one_hot(sel, T, dtype=jnp.float32)
+    payload = jnp.einsum(
+        "sa,cta,cst->c", hist, tables, sel_onehot
+    ).astype(jnp.int32)
+    bits_multi = sel_bits + delta_bits + payload                  # [5]
+
+    # --- single-table candidate -------------------------------------------
+    single = pm_lengths(freqs.astype(jnp.int32), num_syms)        # [S]
+    stables = jnp.broadcast_to(single, (T, S)).astype(jnp.int32)
+    s_sel = jnp.zeros((hist.shape[0],), jnp.int32)
+    s_idx, s_selbits = selector_mtf(s_sel, nseg_used)
+    sd = jnp.abs(single[1:] - single[:-1])
+    sd = jnp.where(jnp.arange(1, S, dtype=jnp.int32) < num_syms, sd, 0)
+    s_delta = 2 * (5 + num_syms + 2 * jnp.sum(sd))
+    s_payload = jnp.sum(hist * single[None, :].astype(jnp.float32))
+    bits_single = s_selbits + s_delta + s_payload.astype(jnp.int32)
+
+    # --- pick the winner ---------------------------------------------------
+    all_bits = jnp.concatenate([bits_single[None], bits_multi])   # [NC]
+    win = jnp.argmin(all_bits)
+    all_nt = jnp.concatenate([jnp.array([2], jnp.int32), nt_arr])
+    all_tables = jnp.concatenate([stables[None], tables_i])       # [NC,T,S]
+    all_sel = jnp.concatenate([s_sel[None], sel])                 # [NC,NSEG]
+    all_idx = jnp.concatenate([s_idx[None], sel_idx])
+    return {
+        "num_tables": all_nt[win],
+        "tables": all_tables[win],
+        "selectors": all_sel[win],
+        "sel_mtf_idx": all_idx[win],
+        "total_bits": all_bits[win],
+        "nseg_used": nseg_used,
+    }

@@ -1,0 +1,83 @@
+"""RLE2 on device: zero-run bijective-base-2 coding as prefix sums.
+
+Reference semantics: lib/mtf.rs:46-65,106-113 — maximal runs of MTF index 0
+become RUNA/RUNB digit strings (LSB-first bits of run+1 below its leading
+one); nonzero index i becomes symbol i+1; EOB terminates the block.
+
+Device formulation: treat EOB as a sentinel "nonzero" appended at position
+n.  For every nonzero, the preceding zero-run length falls out of an
+exclusive cummax of nonzero positions; digit counts are exact integer
+bit-lengths (comparison ladder, no float log); output offsets are one
+exclusive cumsum; digits scatter in <=20 masked passes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_MAX_DIGITS = 20  # zero runs < 2^20 (block <= 900_000)
+_TRASH = -1       # scatter target for masked lanes (wraps to the pad slot)
+
+
+def rle2_device(
+    mtf_idx: jax.Array, n: jax.Array, num_names: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Encode the MTF index stream.
+
+    Args:
+      mtf_idx: int32[N] (valid first ``n``).
+      n: int32 true length.
+      num_names: int32 number of present byte values.
+    Returns:
+      syms int32[N+1] (RLE2 symbols, padded with 258),
+      out_len int32,
+      freqs int32[258].
+    """
+    N = mtf_idx.shape[0]
+    M = N + 1
+    eob = num_names + 1
+    pos = jnp.arange(M, dtype=jnp.int32)
+    is_eob = pos == n
+    nz = (jnp.concatenate([mtf_idx, jnp.zeros(1, jnp.int32)]) > 0) & (pos < n)
+    emit = nz | is_eob
+
+    # Previous emit position (exclusive cummax).
+    marked = jnp.where(emit, pos, -1)
+    prev = jnp.concatenate(
+        [jnp.full(1, -1, jnp.int32), jax.lax.cummax(marked, axis=0)[:-1]]
+    )
+    zrun = jnp.where(emit, pos - prev - 1, 0)
+
+    # Digit count = bitlength(zrun + 1) - 1, exact via comparison ladder.
+    zp1 = zrun + 1
+    nd = jnp.zeros(M, jnp.int32)
+    for k in range(1, _MAX_DIGITS + 1):
+        nd = nd + (zp1 >= (1 << k)).astype(jnp.int32)
+
+    emit_i = emit.astype(jnp.int32)
+    width = (nd + 1) * emit_i
+    off = jnp.cumsum(width) - width                     # exclusive
+    out_len = jnp.sum(width)
+
+    syms = jnp.full(M + 1, 258, jnp.int32)              # +1 trash slot at end
+    # Zero-run digits, LSB-first, excluding the leading 1 of zrun+1.
+    for j in range(_MAX_DIGITS):
+        lane = emit & (nd > j)
+        tgt = jnp.where(lane, off + j, M)
+        syms = syms.at[tgt].set(jnp.where(lane, (zp1 >> j) & 1, 258))
+    # The (shifted) symbol itself, or EOB.
+    val = jnp.where(
+        is_eob, eob, jnp.concatenate([mtf_idx, jnp.zeros(1, jnp.int32)]) + 1
+    )
+    tgt = jnp.where(emit, off + nd, M)
+    syms = syms.at[tgt].set(jnp.where(emit, val, 258))
+    syms = syms[:M]
+
+    live = pos < out_len
+    freqs = (
+        jnp.zeros(259, jnp.int32)
+        .at[jnp.where(live, syms, 258)]
+        .add(live.astype(jnp.int32))[:258]
+    )
+    return syms, out_len, freqs

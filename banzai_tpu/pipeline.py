@@ -1,0 +1,124 @@
+"""Device pipeline orchestration: batched per-block encode + host framing.
+
+Per-block data flow (all static shapes, one fused jit, vmapped over the
+block batch):
+
+    RLE1 bytes [B, N] --bwt_rotations--> BWT column + ptr
+                      --mtf_indices_device--> MTF positions
+                      --rle2_device--> symbol stream + freqs
+                      --plan_entropy_device--> tables/selectors plan
+                      --block_payload_entries + pack_entries--> words + bits
+
+The host does streaming RLE1 + block CRCs (rle1.split_blocks), frames the
+.bz2 container, and splices each block's device-packed payload words at its
+bit offset (SURVEY.md §7 stage table).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bitio import BitWriter
+from .constants import SEGMENT_WIDTH, block_capacity
+from .container import (
+    write_block_header,
+    write_stream_footer,
+    write_stream_header,
+    write_sym_map,
+)
+from .crc32 import combine_stream_crc
+from .ops.bitpack import S, block_payload_entries, pack_entries
+from .ops.bwt import bwt_rotations
+from .ops.huffman import plan_entropy_device
+from .ops.mtf import mtf_indices_device
+from .ops.rle2 import rle2_device
+from .rle1 import split_blocks
+
+_CHUNK = 512          # MTF chunk length
+_DEFAULT_BATCH = 8
+
+
+def _padded_len(level: int) -> int:
+    cap = block_capacity(level)
+    return ((cap + _CHUNK - 1) // _CHUNK) * _CHUNK
+
+
+def _nwords(N: int, nseg: int) -> int:
+    worst = 18 + 6 * nseg + 6 * (5 + S * 34) + 20 * (N + 1)
+    return (worst + 31) // 32 + 2
+
+
+@partial(jax.jit, static_argnames=("nseg", "nwords"))
+def _encode_blocks(
+    blocks: jax.Array,       # uint8 [B, N]
+    ns: jax.Array,           # int32 [B]
+    present: jax.Array,      # bool [B, 256]
+    *,
+    nseg: int,
+    nwords: int,
+):
+    def one(block, n, pres):
+        num_names = jnp.sum(pres.astype(jnp.int32))
+        num_syms = num_names + 2
+        bwt, ptr = bwt_rotations(block, n)
+        idx = mtf_indices_device(bwt, n, pres, chunk=_CHUNK)
+        syms, out_len, freqs = rle2_device(idx, n, num_names)
+        plan = plan_entropy_device(syms, out_len, freqs, num_syms, nseg)
+        vals, lens = block_payload_entries(
+            syms,
+            out_len,
+            num_syms,
+            plan["num_tables"],
+            plan["tables"],
+            plan["selectors"],
+            plan["sel_mtf_idx"],
+            plan["nseg_used"],
+        )
+        words, total_bits = pack_entries(vals, lens, nwords)
+        return words, total_bits, ptr
+
+    return jax.vmap(one)(blocks, ns, present)
+
+
+def compress(data: bytes, level: int = 9, batch: int = _DEFAULT_BATCH) -> bytes:
+    """Encode ``data`` on the device pipeline."""
+    host_blocks = split_blocks(data, level)
+    bw = BitWriter()
+    write_stream_header(bw, level)
+    stream_crc = 0
+    N = _padded_len(level)
+    nseg = (N + 1 + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
+    nwords = _nwords(N, nseg)
+
+    nb = len(host_blocks)
+    for lo in range(0, nb, batch):
+        group = host_blocks[lo : lo + batch]
+        B = len(group)
+        pad_b = batch - B if nb > batch else 0   # keep one compiled shape
+        arr = np.zeros((B + pad_b, N), np.uint8)
+        ns = np.ones(B + pad_b, np.int32)
+        pres = np.zeros((B + pad_b, 256), bool)
+        pres[:, 0] = True                        # dummy blocks: single byte
+        for i, blk in enumerate(group):
+            arr[i, : len(blk.output)] = blk.output
+            ns[i] = len(blk.output)
+            pres[i] = np.bincount(blk.output, minlength=256) > 0
+        words, nbits, ptrs = _encode_blocks(
+            jnp.asarray(arr), jnp.asarray(ns), jnp.asarray(pres),
+            nseg=nseg, nwords=nwords,
+        )
+        words = np.asarray(words)
+        nbits = np.asarray(nbits)
+        ptrs = np.asarray(ptrs)
+        for i, blk in enumerate(group):
+            stream_crc = combine_stream_crc(stream_crc, blk.crc)
+            write_block_header(bw, blk.crc, int(ptrs[i]))
+            write_sym_map(bw, pres[i])
+            bw.splice_words(words[i], int(nbits[i]))
+
+    write_stream_footer(bw, stream_crc)
+    return bw.close()

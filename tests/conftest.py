@@ -3,12 +3,18 @@ sharded pipeline is exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon sitecustomize force-registers the TPU backend and overrides
+# JAX_PLATFORMS; a config update after import wins and pins tests to the
+# virtual 8-device CPU mesh.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import subprocess
 

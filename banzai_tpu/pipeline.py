@@ -31,11 +31,8 @@ from .container import (
     write_sym_map,
 )
 from .crc32 import combine_stream_crc
-from .ops.bitpack import S, block_payload_entries, pack_entries
-from .ops.bwt import bwt_rotations
-from .ops.huffman import plan_entropy_device
-from .ops.mtf import mtf_indices_device
-from .ops.rle2 import rle2_device
+from .ops.bitpack import S
+from .parallel.dp import block_mesh, encode_blocks_sharded, encode_one_block
 from .rle1 import split_blocks
 
 _CHUNK = 512          # MTF chunk length
@@ -61,31 +58,22 @@ def _encode_blocks(
     nseg: int,
     nwords: int,
 ):
-    def one(block, n, pres):
-        num_names = jnp.sum(pres.astype(jnp.int32))
-        num_syms = num_names + 2
-        bwt, ptr = bwt_rotations(block, n)
-        idx = mtf_indices_device(bwt, n, pres, chunk=_CHUNK)
-        syms, out_len, freqs = rle2_device(idx, n, num_names)
-        plan = plan_entropy_device(syms, out_len, freqs, num_syms, nseg)
-        vals, lens = block_payload_entries(
-            syms,
-            out_len,
-            num_syms,
-            plan["num_tables"],
-            plan["tables"],
-            plan["selectors"],
-            plan["sel_mtf_idx"],
-            plan["nseg_used"],
-        )
-        words, total_bits = pack_entries(vals, lens, nwords)
-        return words, total_bits, ptr
-
-    return jax.vmap(one)(blocks, ns, present)
+    fn = partial(encode_one_block, nseg=nseg, nwords=nwords, chunk=_CHUNK)
+    return jax.vmap(fn)(blocks, ns, present)
 
 
-def compress(data: bytes, level: int = 9, batch: int = _DEFAULT_BATCH) -> bytes:
-    """Encode ``data`` on the device pipeline."""
+def compress(
+    data: bytes,
+    level: int = 9,
+    batch: int | None = None,
+    sharded: bool | None = None,
+) -> bytes:
+    """Encode ``data`` on the device pipeline.
+
+    With multiple devices visible the block batch is sharded over a 1-D
+    ``('blocks',)`` mesh (block data-parallelism); otherwise a plain vmap
+    batch runs on the single device.
+    """
     host_blocks = split_blocks(data, level)
     bw = BitWriter()
     write_stream_header(bw, level)
@@ -94,11 +82,20 @@ def compress(data: bytes, level: int = 9, batch: int = _DEFAULT_BATCH) -> bytes:
     nseg = (N + 1 + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
     nwords = _nwords(N, nseg)
 
+    ndev = len(jax.devices())
+    if sharded is None:
+        sharded = ndev > 1
+    mesh = block_mesh() if sharded else None
+    if batch is None:
+        batch = ndev * 2 if sharded else _DEFAULT_BATCH
+
     nb = len(host_blocks)
     for lo in range(0, nb, batch):
         group = host_blocks[lo : lo + batch]
         B = len(group)
-        pad_b = batch - B if nb > batch else 0   # keep one compiled shape
+        # Pad the batch so there is exactly one compiled shape (dummy
+        # blocks are single-byte and their outputs are discarded).
+        pad_b = batch - B if (nb > batch or sharded) else 0
         arr = np.zeros((B + pad_b, N), np.uint8)
         ns = np.ones(B + pad_b, np.int32)
         pres = np.zeros((B + pad_b, 256), bool)
@@ -107,10 +104,16 @@ def compress(data: bytes, level: int = 9, batch: int = _DEFAULT_BATCH) -> bytes:
             arr[i, : len(blk.output)] = blk.output
             ns[i] = len(blk.output)
             pres[i] = np.bincount(blk.output, minlength=256) > 0
-        words, nbits, ptrs = _encode_blocks(
-            jnp.asarray(arr), jnp.asarray(ns), jnp.asarray(pres),
-            nseg=nseg, nwords=nwords,
-        )
+        if sharded:
+            words, nbits, ptrs = encode_blocks_sharded(
+                jnp.asarray(arr), jnp.asarray(ns), jnp.asarray(pres),
+                nseg=nseg, nwords=nwords, mesh=mesh,
+            )
+        else:
+            words, nbits, ptrs = _encode_blocks(
+                jnp.asarray(arr), jnp.asarray(ns), jnp.asarray(pres),
+                nseg=nseg, nwords=nwords,
+            )
         words = np.asarray(words)
         nbits = np.asarray(nbits)
         ptrs = np.asarray(ptrs)

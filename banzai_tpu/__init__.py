@@ -16,7 +16,7 @@ Public API (mirrors the reference crate API, lib/lib.rs:84-153):
 
 from __future__ import annotations
 
-import io
+import os
 from typing import BinaryIO
 
 __version__ = "0.1.0"
@@ -31,7 +31,9 @@ def compress(data: bytes, level: int = 9, backend: str = "auto") -> bytes:
     if backend not in _BACKENDS:
         raise ValueError(f"backend must be one of {_BACKENDS}")
     if backend == "auto":
-        backend = "jax" if _jax_usable() else "numpy"
+        backend = os.environ.get("BANZAI_TPU_BACKEND", "")
+        if backend not in _BACKENDS or backend == "auto":
+            backend = "jax" if _jax_usable() else "numpy"
     if backend == "jax":
         from .pipeline import compress as jax_compress
 

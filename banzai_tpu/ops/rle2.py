@@ -57,27 +57,30 @@ def rle2_device(
 
     emit_i = emit.astype(jnp.int32)
     width = (nd + 1) * emit_i
-    off = jnp.cumsum(width) - width                     # exclusive
-    out_len = jnp.sum(width)
+    ends = jnp.cumsum(width)                            # inclusive
+    off = ends - width                                  # exclusive
+    out_len = ends[-1]
 
-    syms = jnp.full(M + 1, 258, jnp.int32)              # +1 trash slot at end
-    # Zero-run digits, LSB-first, excluding the leading 1 of zrun+1.
-    for j in range(_MAX_DIGITS):
-        lane = emit & (nd > j)
-        tgt = jnp.where(lane, off + j, M)
-        syms = syms.at[tgt].set(jnp.where(lane, (zp1 >> j) & 1, 258))
-    # The (shifted) symbol itself, or EOB.
+    # Gather formulation (TPU scatters are slow; binary-search gathers are
+    # fast): output slot j belongs to the emit entry i(j) with
+    # ends[i-1] <= j < ends[i]; d = j - off[i] indexes its digits, and
+    # d == nd[i] is the symbol slot.
+    src = jnp.searchsorted(
+        ends, pos, side="right", method="sort"
+    ).astype(jnp.int32)
+    src = jnp.minimum(src, M - 1)
+    d = pos - off[src]
     val = jnp.where(
         is_eob, eob, jnp.concatenate([mtf_idx, jnp.zeros(1, jnp.int32)]) + 1
     )
-    tgt = jnp.where(emit, off + nd, M)
-    syms = syms.at[tgt].set(jnp.where(emit, val, 258))
-    syms = syms[:M]
-
+    digit = (zp1[src] >> jnp.minimum(d, _MAX_DIGITS)) & 1
+    syms = jnp.where(d == nd[src], val[src], digit)
     live = pos < out_len
+    syms = jnp.where(live, syms, 258)
+
     freqs = (
         jnp.zeros(259, jnp.int32)
-        .at[jnp.where(live, syms, 258)]
+        .at[syms]
         .add(live.astype(jnp.int32))[:258]
     )
     return syms, out_len, freqs

@@ -57,10 +57,14 @@ def encode_one_block(block, n, pres, *, nseg: int, nwords: int, chunk: int = 512
     return words, total_bits, ptr
 
 
-@partial(jax.jit, static_argnames=("nseg", "nwords", "mesh"))
-def encode_blocks_sharded(blocks, ns, present, *, nseg: int, nwords: int, mesh: Mesh):
+@partial(jax.jit, static_argnames=("nseg", "nwords", "mesh", "chunk"))
+def encode_blocks_sharded(
+    blocks, ns, present, *, nseg: int, nwords: int, mesh: Mesh, chunk: int = 512
+):
     """Encode a [B, N] block batch sharded over ``mesh`` (B % ndev == 0)."""
-    fn = jax.vmap(partial(encode_one_block, nseg=nseg, nwords=nwords))
+    fn = jax.vmap(
+        partial(encode_one_block, nseg=nseg, nwords=nwords, chunk=chunk)
+    )
     sharded = jax.shard_map(
         fn,
         mesh=mesh,

@@ -12,6 +12,13 @@ block batch):
 The host does streaming RLE1 + block CRCs (rle1.split_blocks), frames the
 .bz2 container, and splices each block's device-packed payload words at its
 bit offset (SURVEY.md §7 stage table).
+
+Transfer discipline (the host<->device link can be the bottleneck): block
+payload words stay on device; the host first reads the per-block bit counts
+(tiny), then fetches only ceil(max nbits/32) words per batch through a
+bucketed jitted slice — so device->host traffic is ~the compressed size,
+not the worst-case buffer.  Batches are dispatched ahead (async) so uploads
+and compute overlap.
 """
 
 from __future__ import annotations
@@ -24,19 +31,16 @@ import numpy as np
 
 from .bitio import BitWriter
 from .constants import SEGMENT_WIDTH, block_capacity
-from .container import (
-    write_block_header,
-    write_stream_footer,
-    write_stream_header,
-    write_sym_map,
-)
+from .container import write_stream_footer, write_stream_header
 from .crc32 import combine_stream_crc
 from .ops.bitpack import S
 from .parallel.dp import block_mesh, encode_blocks_sharded, encode_one_block
+from .parallel.serial import BlockPayload
 from .rle1 import split_blocks
 
-_CHUNK = 512          # MTF chunk length
+_CHUNK = 128          # MTF chunk length (sequential depth per chunk)
 _DEFAULT_BATCH = 8
+_INFLIGHT = 3         # batches dispatched ahead of the host drain
 
 
 def _padded_len(level: int) -> int:
@@ -62,22 +66,26 @@ def _encode_blocks(
     return jax.vmap(fn)(blocks, ns, present)
 
 
-def compress(
+@partial(jax.jit, static_argnames=("k",))
+def _fetch_words(words: jax.Array, *, k: int) -> jax.Array:
+    return words[:, :k]
+
+
+def _bucket(n: int) -> int:
+    k = 256
+    while k < n:
+        k *= 2
+    return k
+
+
+def compress_blocks_payloads(
     data: bytes,
     level: int = 9,
     batch: int | None = None,
     sharded: bool | None = None,
-) -> bytes:
-    """Encode ``data`` on the device pipeline.
-
-    With multiple devices visible the block batch is sharded over a 1-D
-    ``('blocks',)`` mesh (block data-parallelism); otherwise a plain vmap
-    batch runs on the single device.
-    """
+) -> list[BlockPayload]:
+    """Encode ``data`` into per-block payloads (device pipeline)."""
     host_blocks = split_blocks(data, level)
-    bw = BitWriter()
-    write_stream_header(bw, level)
-    stream_crc = 0
     N = _padded_len(level)
     nseg = (N + 1 + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
     nwords = _nwords(N, nseg)
@@ -90,6 +98,28 @@ def compress(
         batch = ndev * 2 if sharded else _DEFAULT_BATCH
 
     nb = len(host_blocks)
+    payloads: list[BlockPayload] = []
+    pending: list[tuple[list, np.ndarray, tuple]] = []
+
+    def drain_one() -> None:
+        group, pres_h, dev = pending.pop(0)
+        words_d, nbits_d, ptrs_d = dev
+        nbits = np.asarray(nbits_d)
+        ptrs = np.asarray(ptrs_d)
+        kmax = max(1, int(nbits[: len(group)].max() + 31) // 32)
+        k = min(_bucket(kmax), nwords)
+        words = np.asarray(_fetch_words(words_d, k=k))
+        for i, blk in enumerate(group):
+            payloads.append(
+                BlockPayload(
+                    crc=blk.crc,
+                    ptr=int(ptrs[i]),
+                    present=pres_h[i],
+                    words=words[i],
+                    nbits=int(nbits[i]),
+                )
+            )
+
     for lo in range(0, nb, batch):
         group = host_blocks[lo : lo + batch]
         B = len(group)
@@ -105,23 +135,35 @@ def compress(
             ns[i] = len(blk.output)
             pres[i] = np.bincount(blk.output, minlength=256) > 0
         if sharded:
-            words, nbits, ptrs = encode_blocks_sharded(
+            dev = encode_blocks_sharded(
                 jnp.asarray(arr), jnp.asarray(ns), jnp.asarray(pres),
-                nseg=nseg, nwords=nwords, mesh=mesh,
+                nseg=nseg, nwords=nwords, mesh=mesh, chunk=_CHUNK,
             )
         else:
-            words, nbits, ptrs = _encode_blocks(
+            dev = _encode_blocks(
                 jnp.asarray(arr), jnp.asarray(ns), jnp.asarray(pres),
                 nseg=nseg, nwords=nwords,
             )
-        words = np.asarray(words)
-        nbits = np.asarray(nbits)
-        ptrs = np.asarray(ptrs)
-        for i, blk in enumerate(group):
-            stream_crc = combine_stream_crc(stream_crc, blk.crc)
-            write_block_header(bw, blk.crc, int(ptrs[i]))
-            write_sym_map(bw, pres[i])
-            bw.splice_words(words[i], int(nbits[i]))
+        pending.append((group, pres, dev))
+        while len(pending) >= _INFLIGHT:
+            drain_one()
+    while pending:
+        drain_one()
+    return payloads
 
+
+def compress(
+    data: bytes,
+    level: int = 9,
+    batch: int | None = None,
+    sharded: bool | None = None,
+) -> bytes:
+    """Encode ``data`` on the device pipeline into a .bz2 stream."""
+    bw = BitWriter()
+    write_stream_header(bw, level)
+    stream_crc = 0
+    for p in compress_blocks_payloads(data, level, batch, sharded):
+        stream_crc = combine_stream_crc(stream_crc, p.crc)
+        p.write(bw)
     write_stream_footer(bw, stream_crc)
     return bw.close()

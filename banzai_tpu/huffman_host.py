@@ -39,6 +39,15 @@ def pm_code_lengths(
 ) -> np.ndarray:
     """Package-merge optimal code lengths with max length ``limit``.
 
+    Weights-only formulation (no per-leaf count matrices): the forward
+    pass builds each level's package weights; the backward pass walks the
+    chosen-count recurrence c_{l-1} = 2 * (#packages among the first c_l
+    merged items).  A leaf's length is the number of levels at which it is
+    chosen, and since leaves are weight-sorted that is simply
+    ``#{levels l : leaf_rank < x_l}`` where ``x_l`` is the number of
+    chosen leaves at level l.  Ties order leaves before packages (stable
+    merge), matching the device twin bit-for-bit.
+
     Zero frequencies are clamped to 1 (every symbol needs a code in the
     bzip2 table format).  Returns uint8 lengths in [1, limit].
     """
@@ -48,21 +57,32 @@ def pm_code_lengths(
         return np.ones(1, dtype=np.uint8)
     order = np.argsort(w, kind="stable")
     ws = w[order]
-    # Packages as (weight, leaf-count-vector) rows; counts fit in uint8
-    # because each leaf appears at most `limit` times in a chosen set.
-    pkg_w = ws.copy()
-    pkg_c = np.eye(n, dtype=np.uint8)
-    for _ in range(limit - 1):
-        m = len(pkg_w) & ~1
-        pair_w = pkg_w[0:m:2] + pkg_w[1:m:2]
-        pair_c = pkg_c[0:m:2] + pkg_c[1:m:2]
-        merged_w = np.concatenate((ws, pair_w))
-        merged_c = np.concatenate((np.eye(n, dtype=np.uint8), pair_c))
-        srt = np.argsort(merged_w, kind="stable")
-        pkg_w = merged_w[srt]
-        pkg_c = merged_c[srt]
-    take = 2 * n - 2
-    lengths_sorted = pkg_c[:take].sum(axis=0, dtype=np.int64)
+
+    # Forward: per level, the merged (weight, is_package) lists.
+    merged_levels = []
+    pair_w = np.zeros(0, dtype=np.int64)
+    for _ in range(limit):
+        mw = np.concatenate((ws, pair_w))
+        tag = np.concatenate(
+            (np.zeros(n, np.int64), np.ones(len(pair_w), np.int64))
+        )
+        srt = np.lexsort((tag, mw))          # weight asc, leaves first
+        mw = mw[srt]
+        tag = tag[srt]
+        merged_levels.append(tag)
+        m = len(mw) & ~1
+        pair_w = mw[0:m:2] + mw[1:m:2]
+
+    # Backward: chosen counts per level.
+    x = np.zeros(limit, dtype=np.int64)      # chosen leaves per level
+    c = 2 * n - 2
+    for l in range(limit - 1, -1, -1):
+        tag = merged_levels[l]
+        c = min(c, len(tag))
+        p = int(tag[:c].sum())               # chosen packages
+        x[l] = c - p
+        c = 2 * p
+    lengths_sorted = (np.arange(n)[:, None] < x[None, :]).sum(axis=1)
     lengths = np.empty(n, dtype=np.uint8)
     lengths[order] = lengths_sorted.astype(np.uint8)
     return lengths

@@ -9,9 +9,18 @@ batched XLA sort plus elementwise scans — exactly the shape XLA compiles
 well.  No doubled input is needed: the cyclic shift ``(i + k) mod n``
 realizes rotation comparison exactly.
 
+TPU-specific engineering:
+  * the ``(i+k) mod n`` access is two contiguous dynamic slices, not a
+    gather (gathers are the most expensive primitive on this hardware);
+  * inverse permutations are key-sorts, not scatters;
+  * round 1 sorts packed 3-byte keys on both lanes, so doubling starts at
+    k = 6 (two rounds saved);
+  * the sorted order is carried through the loop — the final relabel
+    needs no extra sort.
+
 Rotation ties (periodic inputs, where ranks never become distinct) are
 harmless: identical rotations contribute identical BWT characters
-(SURVEY.md §2.3), so the loop can stop at k >= n.
+(SURVEY.md §2.3), so the loop stops at k >= n.
 
 Shapes are static: blocks are padded to capacity N; padded positions get
 rank +inf so they sort behind every real rotation and never disturb them.
@@ -38,19 +47,28 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     N = block.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = idx < n
-    rank = jnp.where(valid, block.astype(jnp.int32), _PAD_RANK)
+    zeros = jnp.zeros(N, jnp.int32)
 
-    def shift_rank(rank: jax.Array, k: jax.Array) -> jax.Array:
-        # rank of rotation (i + k) mod n; padded lanes stay +inf.
-        j = idx + k
-        j = jnp.where(j >= n, j - n, j)          # k < n on every round
-        j = jnp.where(valid, j, 0)               # keep gathers in bounds
-        return jnp.where(valid, rank[j], _PAD_RANK)
+    def cyc_shift(arr: jax.Array, k: jax.Array) -> jax.Array:
+        # arr[(i + k) mod n] for i < n.  Two contiguous dynamic slices
+        # replace a full-width gather.  Requires 0 <= k < n; for k >= n the
+        # result is garbage but deterministic (callers only hit that when
+        # ties are already resolved or harmless).
+        ext = jnp.concatenate([arr, zeros])
+        lo = jax.lax.dynamic_slice(ext, (jnp.maximum(k, 0),), (N,))
+        ext2 = jnp.concatenate([zeros, arr])
+        start = jnp.clip(N - (n - k), 0, N)
+        hi = jax.lax.dynamic_slice(ext2, (start,), (N,))
+        r2 = jnp.where(idx < n - k, lo, hi)
+        return jnp.where(valid, r2, _PAD_RANK)
+
+    b = jnp.where(valid, block.astype(jnp.int32), 0)
+    pack3 = (b << 16) | (cyc_shift(b, 1) & 0xFF) << 8 | (cyc_shift(b, 2) & 0xFF)
+    rank0 = jnp.where(valid, pack3, _PAD_RANK)
 
     def round_body(state):
-        k, rank, _done = state
-        r2 = shift_rank(rank, k)
-        # Single sort, two keys: lexicographic (rank, r2) with idx payload.
+        k, rank, _order, _done = state
+        r2 = cyc_shift(rank, k)
         r1s, r2s, order = jax.lax.sort((rank, r2, idx), num_keys=2)
         changed = jnp.concatenate(
             [
@@ -61,21 +79,19 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
             ]
         )
         new_rank_sorted = jnp.cumsum(changed)
-        new_rank = jnp.zeros(N, jnp.int32).at[order].set(new_rank_sorted)
+        # Inverse permutation via key sort (scatters are slower on TPU).
+        _, new_rank = jax.lax.sort((order, new_rank_sorted), num_keys=1)
         new_rank = jnp.where(valid, new_rank, _PAD_RANK)
         distinct = new_rank_sorted[jnp.maximum(n - 1, 0)] == n - 1
-        return (k * 2, new_rank, distinct | (k * 2 >= n))
+        k2 = k * 2
+        return (k2, new_rank, order, distinct | (k2 >= n))
 
-    def cond(state):
-        _k, _rank, done = state
-        return ~done
+    # Round 1 unconditionally (keys: 3-byte packs at i and i+3 -> k=6).
+    state = round_body((jnp.int32(3), rank0, idx, False))
+    _, _, order, _ = jax.lax.while_loop(
+        lambda s: ~s[3], round_body, state
+    )
 
-    state = (jnp.int32(1), rank, n <= 1)
-    _, rank, _ = jax.lax.while_loop(cond, round_body, state)
-
-    # Final order: ranks are unique on real lanes (or tied identical
-    # rotations, any order valid); padded lanes sort last.
-    _, order = jax.lax.sort((rank, idx), num_keys=1)
     prev = jnp.where(order == 0, n - 1, order - 1)   # (i + n - 1) mod n
     bwt = block[prev]
     ptr = jnp.argmax(order == 0).astype(jnp.int32)

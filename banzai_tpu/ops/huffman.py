@@ -23,7 +23,7 @@ from ..constants import CODEWORD_MAX_LEN, SEGMENT_WIDTH
 S = 258          # padded symbol alphabet
 T = 6            # max tables
 NC = 6           # candidates: single-table + nt in {2..6}
-_INF_W = jnp.int32(1 << 26)
+_INF_W = jnp.int32(1 << 29)   # > any finite package weight (sum of freqs)
 _BIG = jnp.float32(1e9)
 
 
@@ -43,47 +43,69 @@ def segment_hist(syms: jax.Array, out_len: jax.Array, nseg: int) -> jax.Array:
 
 
 def pm_lengths(freqs: jax.Array, num_syms: jax.Array) -> jax.Array:
-    """Batched package-merge code lengths.
+    """Batched package-merge code lengths (weights-only formulation).
+
+    Forward: 17 levels of merged (weight, is-package) lists — batched tiny
+    sorts, no per-leaf count matrices.  Backward: the chosen-count
+    recurrence ``c_{l-1} = 2 * #packages-among-first-c_l``; a leaf's code
+    length is the number of levels at which it is chosen, i.e.
+    ``#{l : leaf_rank < x_l}``.  Ties order leaves before packages,
+    matching huffman_host.pm_code_lengths bit-for-bit.
 
     Args:
-      freqs: int32 [..., S] (absent symbols ignored via ``num_syms`` mask).
+      freqs: int32 [..., S], total sum < 2**29 (block symbol counts sum
+        to <= 900_001, far below the INF sentinel; larger totals would
+        tie finite packages with the absent-symbol padding).
       num_syms: int32 true alphabet size (3..258).
     Returns:
       int32 [..., S] lengths: in [1, 17] for s < num_syms, else 0.
     """
+    L = CODEWORD_MAX_LEN
     sym_ids = jnp.arange(S, dtype=jnp.int32)
     w = jnp.where(sym_ids < num_syms, jnp.maximum(freqs, 1), _INF_W)
     iota = jnp.broadcast_to(sym_ids, w.shape)
     ws, worder = jax.lax.sort((w, iota), num_keys=1, dimension=w.ndim - 1)
-    leaves_c = jax.nn.one_hot(worder, S, dtype=jnp.uint8)       # [..., S, S]
 
-    pad_w = jnp.full(ws.shape[:-1] + (S,), _INF_W, jnp.int32)
-    pw = jnp.concatenate([ws, pad_w], axis=-1)                  # [..., 2S]
-    pc = jnp.concatenate(
-        [leaves_c, jnp.zeros_like(leaves_c)], axis=-2
-    )                                                           # [..., 2S, S]
+    leaf_tag = jnp.zeros_like(ws)
+    pair_w = jnp.full(ws.shape, _INF_W, jnp.int32)   # level-1 "pairs": none
+    pair_tag = jnp.ones_like(ws)
+    tag_cum_levels = []
+    for _ in range(L):
+        mw = jnp.concatenate([ws, pair_w], axis=-1)          # [..., 2S]
+        mtag = jnp.concatenate([leaf_tag, pair_tag], axis=-1)
+        mw, mtag = jax.lax.sort((mw, mtag), num_keys=2, dimension=mw.ndim - 1)
+        tag_cum_levels.append(jnp.cumsum(mtag, axis=-1))
+        pair_w = jnp.minimum(
+            mw[..., 0::2] + mw[..., 1::2], _INF_W
+        )                                                    # [..., S]
+    tag_cum = jnp.stack(tag_cum_levels, axis=-2)             # [..., L, 2S]
 
-    def level(_, carry):
-        pw, pc = carry
-        pair_w = jnp.minimum(pw[..., 0::2] + pw[..., 1::2], _INF_W)
-        pair_c = pc[..., 0::2, :] + pc[..., 1::2, :]
-        mw = jnp.concatenate([ws, pair_w], axis=-1)
-        mc = jnp.concatenate([leaves_c, pair_c], axis=-2)
-        srt_iota = jnp.broadcast_to(
-            jnp.arange(2 * S, dtype=jnp.int32), mw.shape
-        )
-        pw2, perm = jax.lax.sort(
-            (mw, srt_iota), num_keys=1, dimension=mw.ndim - 1
-        )
-        pc2 = jnp.take_along_axis(mc, perm[..., :, None], axis=-2)
-        return pw2, pc2
+    # Backward chosen-count recurrence (tiny, per level).
+    def back(l_rev, carry):
+        c, x = carry
+        l = L - 1 - l_rev
+        cum = jnp.take_along_axis(
+            tag_cum[..., l, :],
+            jnp.maximum(c - 1, 0)[..., None],
+            axis=-1,
+        )[..., 0]
+        p = jnp.where(c > 0, cum, 0)                 # chosen packages
+        x = x.at[..., l].set(c - p)
+        return 2 * p, x
 
-    pw, pc = jax.lax.fori_loop(
-        0, CODEWORD_MAX_LEN - 1, level, (pw, pc), unroll=True
+    c0 = jnp.broadcast_to(
+        2 * num_syms - 2, ws.shape[:-1]
+    ).astype(jnp.int32)
+    x0 = jnp.zeros(ws.shape[:-1] + (L,), jnp.int32)
+    _, x = jax.lax.fori_loop(0, L, back, (c0, x0), unroll=True)
+
+    # lengths in sorted-leaf order, then undo the sort permutation.
+    ranks = jnp.broadcast_to(sym_ids, ws.shape)
+    lens_sorted = jnp.sum(
+        (ranks[..., None] < x[..., None, :]).astype(jnp.int32), axis=-1
     )
-    take = 2 * num_syms - 2
-    row_mask = (jnp.arange(2 * S, dtype=jnp.int32) < take).astype(jnp.int32)
-    lens = jnp.sum(pc.astype(jnp.int32) * row_mask[..., :, None], axis=-2)
+    _, lens = jax.lax.sort((worder, lens_sorted), num_keys=1,
+                           dimension=w.ndim - 1)
     return jnp.where(sym_ids < num_syms, lens, 0)
 
 

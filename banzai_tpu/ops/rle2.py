@@ -61,20 +61,25 @@ def rle2_device(
     off = ends - width                                  # exclusive
     out_len = ends[-1]
 
-    # Gather formulation (TPU scatters are slow; binary-search gathers are
-    # fast): output slot j belongs to the emit entry i(j) with
-    # ends[i-1] <= j < ends[i]; d = j - off[i] indexes its digits, and
-    # d == nd[i] is the symbol slot.
-    src = jnp.searchsorted(
-        ends, pos, side="right", method="sort"
-    ).astype(jnp.int32)
-    src = jnp.minimum(src, M - 1)
-    d = pos - off[src]
+    # Output slot j belongs to the emit entry whose output range [off, end)
+    # contains j.  Scatter each emitter's input position at its output
+    # start, forward-fill with cummax — one scatter + one cheap scan,
+    # instead of per-slot binary search.
+    src0 = (
+        jnp.full(M + 1, -1, jnp.int32)
+        .at[jnp.where(emit, off, M)]
+        .max(jnp.where(emit, pos, -1))[:M]
+    )
+    src = jnp.maximum(jax.lax.cummax(src0, axis=0), 0)
     val = jnp.where(
         is_eob, eob, jnp.concatenate([mtf_idx, jnp.zeros(1, jnp.int32)]) + 1
     )
-    digit = (zp1[src] >> jnp.minimum(d, _MAX_DIGITS)) & 1
-    syms = jnp.where(d == nd[src], val[src], digit)
+    # One row gather instead of four element gathers.
+    packed = jnp.stack([zp1, nd, val, off], axis=1)         # [M, 4]
+    g = packed[src]
+    d = pos - g[:, 3]
+    digit = (g[:, 0] >> jnp.clip(d, 0, _MAX_DIGITS)) & 1
+    syms = jnp.where(d == g[:, 1], g[:, 2], digit)
     live = pos < out_len
     syms = jnp.where(live, syms, 258)
 

@@ -38,7 +38,7 @@ from .parallel.dp import block_mesh, encode_blocks_sharded, encode_one_block
 from .parallel.serial import BlockPayload
 from .rle1 import split_blocks
 
-_CHUNK = 128          # MTF chunk length (sequential depth per chunk)
+_CHUNK = 64           # MTF chunk length (sequential depth per chunk)
 _DEFAULT_BATCH = 8
 _INFLIGHT = 3         # batches dispatched ahead of the host drain
 

@@ -77,9 +77,34 @@ def pack_entries(
         jnp.uint32(0),
         v << (((64 - b - lens) & 31).astype(jnp.uint32)),
     )
-    words = jnp.zeros(nwords + 1, jnp.uint32)
-    words = words.at[w].add(hi).at[w + 1].add(lo)
-    return words[:nwords], total
+    # Word assembly without scatters: contributions to a word are a
+    # contiguous run of entries (w is sorted), and OR == ADD (disjoint
+    # bits), so each word is a difference of wrapping prefix sums taken at
+    # word-boundary entry indices.  boundary[x] = last entry index whose
+    # word <= x (one scatter-max + cummax), then two small gathers.
+    s_hi = jnp.cumsum(jax.lax.bitcast_convert_type(hi, jnp.int32))
+    s_lo = jnp.cumsum(jax.lax.bitcast_convert_type(lo, jnp.int32))
+    # int32 addition wraps, and OR == ADD for disjoint bit fields, so the
+    # mod-2^32 prefix differences below are exact word values.
+    E = lens.shape[0]
+    last = (
+        jnp.full(nwords + 1, -1, jnp.int32)
+        .at[jnp.minimum(w, nwords)]
+        .max(jnp.arange(E, dtype=jnp.int32))
+    )
+    last = jax.lax.cummax(last, axis=0)                     # [nwords+1]
+    s_hi_e = jnp.concatenate([jnp.zeros(1, jnp.int32), s_hi])
+    s_lo_e = jnp.concatenate([jnp.zeros(1, jnp.int32), s_lo])
+    g_hi = s_hi_e[last + 1]                                 # prefix at last
+    g_lo = s_lo_e[last + 1]
+    g_hi_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), g_hi[:-1]])
+    g_lo_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), g_lo[:-1]])
+    g_lo_prev2 = jnp.concatenate([jnp.zeros(2, jnp.int32), g_lo[:-2]])
+    words = (g_hi - g_hi_prev) + (g_lo_prev - g_lo_prev2)
+    return (
+        jax.lax.bitcast_convert_type(words[:nwords], jnp.uint32),
+        total,
+    )
 
 
 def block_payload_entries(
@@ -147,13 +172,17 @@ def block_payload_entries(
     ).reshape(-1)
 
     # -- payload codewords --------------------------------------------------
+    # One gather of a packed (word << 5 | len) table halves the dominant
+    # random-access cost (gathers are the priciest primitive here).
     words_tab = canonical_words(lens_tab, num_syms)         # [T, S]
+    packed_tab = (words_tab << 5) | lens_tab                # word<2^17,len<32
     pos = jnp.arange(M, dtype=jnp.int32)
     live = pos < out_len
     sym_c = jnp.where(live, jnp.minimum(syms, S - 1), 0)
     sel_per_sym = selectors[jnp.minimum(pos // SEGMENT_WIDTH, nseg - 1)]
-    p_vals = words_tab[sel_per_sym, sym_c].astype(jnp.uint32)
-    p_lens = jnp.where(live, lens_tab[sel_per_sym, sym_c], 0)
+    packed = packed_tab[sel_per_sym, sym_c]
+    p_vals = (packed >> 5).astype(jnp.uint32)
+    p_lens = jnp.where(live, packed & 31, 0)
 
     vals = jnp.concatenate([h_vals, s_vals, t_vals, p_vals])
     lens = jnp.concatenate([h_lens, s_lens, t_lens, p_lens])

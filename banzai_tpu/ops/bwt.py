@@ -51,9 +51,9 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
 
     def cyc_shift(arr: jax.Array, k: jax.Array) -> jax.Array:
         # arr[(i + k) mod n] for i < n.  Two contiguous dynamic slices
-        # replace a full-width gather.  Requires 0 <= k < n; for k >= n the
-        # result is garbage but deterministic (callers only hit that when
-        # ties are already resolved or harmless).
+        # replace a full-width gather; k is reduced mod n so any shift
+        # amount is cyclically correct.
+        k = jnp.where(n > 0, k % n, 0)
         ext = jnp.concatenate([arr, zeros])
         lo = jax.lax.dynamic_slice(ext, (jnp.maximum(k, 0),), (N,))
         ext2 = jnp.concatenate([zeros, arr])
@@ -67,32 +67,46 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     rank0 = jnp.where(valid, pack3, _PAD_RANK)
 
     def round_body(state):
+        # Quadrupling rounds: sort by ranks at offsets (0, k, 2k, 3k), so
+        # each round extends the compared prefix 4x — half the rounds of
+        # classic doubling, and sorts dominate the round cost.
         k, rank, _order, _done = state
         r2 = cyc_shift(rank, k)
-        r1s, r2s, order = jax.lax.sort((rank, r2, idx), num_keys=2)
+        r3 = cyc_shift(rank, 2 * k)
+        r4 = cyc_shift(rank, 3 * k)
+        s1, s2, s3, s4, order = jax.lax.sort(
+            (rank, r2, r3, r4, idx), num_keys=4
+        )
+        diff = (
+            (s1[1:] != s1[:-1])
+            | (s2[1:] != s2[:-1])
+            | (s3[1:] != s3[:-1])
+            | (s4[1:] != s4[:-1])
+        )
         changed = jnp.concatenate(
-            [
-                jnp.zeros(1, jnp.int32),
-                ((r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])).astype(
-                    jnp.int32
-                ),
-            ]
+            [jnp.zeros(1, jnp.int32), diff.astype(jnp.int32)]
         )
         new_rank_sorted = jnp.cumsum(changed)
         # Inverse permutation via key sort (scatters are slower on TPU).
         _, new_rank = jax.lax.sort((order, new_rank_sorted), num_keys=1)
         new_rank = jnp.where(valid, new_rank, _PAD_RANK)
         distinct = new_rank_sorted[jnp.maximum(n - 1, 0)] == n - 1
-        k2 = k * 2
-        return (k2, new_rank, order, distinct | (k2 >= n))
+        k4 = k * 4
+        return (k4, new_rank, order, distinct | (k4 >= n))
 
-    # Round 1 unconditionally (keys: 3-byte packs at i and i+3 -> k=6).
+    # Round 1 unconditionally (keys: 3-byte packs at 0/3/6/9 -> k=12).
     state = round_body((jnp.int32(3), rank0, idx, False))
-    _, _, order, _ = jax.lax.while_loop(
+    _, rank, _, _ = jax.lax.while_loop(
         lambda s: ~s[3], round_body, state
     )
 
-    prev = jnp.where(order == 0, n - 1, order - 1)   # (i + n - 1) mod n
-    bwt = block[prev]
-    ptr = jnp.argmax(order == 0).astype(jnp.int32)
+    # Extract the BWT column by sorting the preceding-byte payload by final
+    # rank — one key sort instead of a full-width random gather.  Tied
+    # (identical) rotations carry identical preceding bytes, so unstable
+    # tie order is harmless; ptr may point at any row of rotation 0's tie
+    # group (all rows are identical strings).
+    prev_byte = cyc_shift(b, n - 1)
+    _, bwt_sorted = jax.lax.sort((rank, prev_byte), num_keys=1)
+    bwt = bwt_sorted.astype(jnp.uint8)
+    ptr = jnp.sum(((rank < rank[0]) & valid).astype(jnp.int32))
     return bwt, ptr

@@ -179,11 +179,14 @@ def table_delta_bits(tables: jax.Array, num_syms: jax.Array) -> jax.Array:
 
 
 def plan_entropy_device(
-    syms: jax.Array, out_len: jax.Array, freqs: jax.Array,
+    syms: jax.Array, out_len: jax.Array,
     num_syms: jax.Array, nseg: int,
 ) -> dict:
     """Full candidate search; returns the winning plan (padded shapes)."""
     hist = segment_hist(syms, out_len, nseg)           # [NSEG, S] f32
+    # Global frequencies fall out of the histogram column sums (exact in
+    # f32: counts < 2**24), so the RLE2 stage's histogram is dead code.
+    freqs = jnp.sum(hist, axis=0).astype(jnp.int32)
     nseg_used = (out_len + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
 
     # --- refinement for nt = 2..6, batched ---------------------------------

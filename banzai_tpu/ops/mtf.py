@@ -37,8 +37,11 @@ def mtf_indices_device(
     C = N // chunk
     pos = jnp.arange(N, dtype=jnp.int32)
     valid = pos < n
-    names_map = (jnp.cumsum(present.astype(jnp.int32)) - 1).astype(jnp.int32)
-    syms = jnp.where(valid, names_map[bwt], -1)
+    # Work directly in byte space: the dense renaming is only an order
+    # isomorphism, so seeding the recency lists with "present bytes in
+    # ascending order, absent bytes at the tail" yields the exact same MTF
+    # indices without a 1M-lane renaming gather.
+    syms = jnp.where(valid, bwt.astype(jnp.int32), -1)
 
     # Last occurrence of each symbol inside each chunk (global position),
     # via scatter-max into [C, S+1] with a trash column for padding.
@@ -56,9 +59,12 @@ def mtf_indices_device(
     )
 
     # Chunk-initial recency lists: symbols by last-occurrence descending,
-    # then never-seen symbols in initial (identity) order.
+    # then never-seen present bytes ascending, absent bytes at the tail.
     sym_ids = jnp.broadcast_to(jnp.arange(_S, dtype=jnp.int32), (C, _S))
-    _, state0 = jax.lax.sort((-before, sym_ids), num_keys=2)
+    absent = jnp.broadcast_to(
+        (~present).astype(jnp.int32), (C, _S)
+    )
+    _, _, state0 = jax.lax.sort((-before, absent, sym_ids), num_keys=3)
 
     syms_p = syms.reshape(C, chunk)
     col = jnp.arange(_S, dtype=jnp.int32)[None, :]

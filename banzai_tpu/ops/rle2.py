@@ -62,24 +62,35 @@ def rle2_device(
     out_len = ends[-1]
 
     # Output slot j belongs to the emit entry whose output range [off, end)
-    # contains j.  Scatter each emitter's input position at its output
-    # start, forward-fill with cummax — one scatter + one cheap scan,
-    # instead of per-slot binary search.
-    src0 = (
-        jnp.full(M + 1, -1, jnp.int32)
-        .at[jnp.where(emit, off, M)]
-        .max(jnp.where(emit, pos, -1))[:M]
-    )
-    src = jnp.maximum(jax.lax.cummax(src0, axis=0), 0)
+    # contains j.  Each entry's fields are scattered at its output start
+    # packed under its offset's high bits (offsets increase with entries,
+    # so a cummax forward-fills the covering entry's fields to every slot)
+    # — no gathers at all.  off < 2^20 and all packed fields are < 2^11.
     val = jnp.where(
         is_eob, eob, jnp.concatenate([mtf_idx, jnp.zeros(1, jnp.int32)]) + 1
     )
-    # One row gather instead of four element gathers.
-    packed = jnp.stack([zp1, nd, val, off], axis=1)         # [M, 4]
-    g = packed[src]
-    d = pos - g[:, 3]
-    digit = (g[:, 0] >> jnp.clip(d, 0, _MAX_DIGITS)) & 1
-    syms = jnp.where(d == g[:, 1], g[:, 2], digit)
+    tgt = jnp.where(emit, off, M)
+
+    def fill(field: jax.Array) -> jax.Array:
+        chain = (
+            jnp.full(M + 1, -1, jnp.int32)
+            .at[tgt]
+            .max(jnp.where(emit, (off << 11) | field, -1))[:M]
+        )
+        return jax.lax.cummax(chain, axis=0)
+
+    f_lo = fill(zp1 & 0x7FF)
+    f_hi = fill(zp1 >> 11)
+    f_val = fill(val)
+    off_f = f_lo >> 11
+    zp1_f = (f_lo & 0x7FF) | ((f_hi & 0x7FF) << 11)
+    d = pos - off_f
+    digit = (zp1_f >> jnp.clip(d, 0, _MAX_DIGITS)) & 1
+    # The symbol occupies an entry's last slot: the next slot starts a new
+    # entry (off changes) or the stream ends.
+    off_next = jnp.concatenate([off_f[1:], jnp.full(1, -1, jnp.int32)])
+    is_sym_slot = (off_next != off_f) | (pos == out_len - 1)
+    syms = jnp.where(is_sym_slot, f_val & 0x7FF, digit)
     live = pos < out_len
     syms = jnp.where(live, syms, 258)
 

@@ -41,8 +41,8 @@ def encode_one_block(block, n, pres, *, nseg: int, nwords: int, chunk: int = 512
     num_syms = num_names + 2
     bwt, ptr = bwt_rotations(block, n)
     idx = mtf_indices_device(bwt, n, pres, chunk=chunk)
-    syms, out_len, freqs = rle2_device(idx, n, num_names)
-    plan = plan_entropy_device(syms, out_len, freqs, num_syms, nseg)
+    syms, out_len, _freqs = rle2_device(idx, n, num_names)
+    plan = plan_entropy_device(syms, out_len, num_syms, nseg)
     vals, lens = block_payload_entries(
         syms,
         out_len,

@@ -87,8 +87,7 @@ def test_plan_device_matches_host_bits():
     pad = np.zeros(M, np.int32)
     pad[:n] = syms
     plan_d = jax.jit(partial(plan_entropy_device, nseg=NSEG))(
-        jnp.asarray(pad), jnp.int32(n), jnp.asarray(freqs, jnp.int32),
-        jnp.int32(ns),
+        jnp.asarray(pad), jnp.int32(n), jnp.int32(ns)
     )
     plan_h = plan_entropy(syms, ns, freqs[:ns])
     assert int(plan_d["total_bits"]) == plan_h.total_bits

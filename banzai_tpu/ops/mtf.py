@@ -19,9 +19,14 @@ import jax.numpy as jnp
 _S = 256  # full renamed-alphabet width; absent names sit inert at the tail
 
 
-@partial(jax.jit, static_argnames=("chunk",))
+@partial(jax.jit, static_argnames=("chunk", "use_pallas", "interpret"))
 def mtf_indices_device(
-    bwt: jax.Array, n: jax.Array, present: jax.Array, chunk: int = 512
+    bwt: jax.Array,
+    n: jax.Array,
+    present: jax.Array,
+    chunk: int = 512,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """MTF list positions of the dense-renamed BWT column.
 
@@ -67,6 +72,13 @@ def mtf_indices_device(
     _, _, state0 = jax.lax.sort((-before, absent, sym_ids), num_keys=3)
 
     syms_p = syms.reshape(C, chunk)
+
+    if use_pallas:
+        from .mtf_pallas import mtf_shuffle_pallas
+
+        out = mtf_shuffle_pallas(syms_p, state0, interpret=interpret)
+        return out.reshape(-1)
+
     col = jnp.arange(_S, dtype=jnp.int32)[None, :]
 
     def step(t, carry):

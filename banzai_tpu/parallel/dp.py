@@ -35,12 +35,15 @@ def block_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("blocks",))
 
 
-def encode_one_block(block, n, pres, *, nseg: int, nwords: int, chunk: int = 512):
+def encode_one_block(
+    block, n, pres, *, nseg: int, nwords: int, chunk: int = 512,
+    use_pallas: bool = False,
+):
     """The complete per-block device pipeline (shared by DP and single-chip)."""
     num_names = jnp.sum(pres.astype(jnp.int32))
     num_syms = num_names + 2
     bwt, ptr = bwt_rotations(block, n)
-    idx = mtf_indices_device(bwt, n, pres, chunk=chunk)
+    idx = mtf_indices_device(bwt, n, pres, chunk=chunk, use_pallas=use_pallas)
     syms, out_len, _freqs = rle2_device(idx, n, num_names)
     plan = plan_entropy_device(syms, out_len, num_syms, nseg)
     vals, lens = block_payload_entries(

@@ -53,7 +53,12 @@ def _nwords(N: int, nseg: int) -> int:
     return (worst + 31) // 32 + 2
 
 
-@partial(jax.jit, static_argnames=("nseg", "nwords"))
+def _use_pallas() -> bool:
+    """Pallas kernels are enabled on real accelerator backends only."""
+    return jax.default_backend() not in ("cpu",)
+
+
+@partial(jax.jit, static_argnames=("nseg", "nwords", "use_pallas"))
 def _encode_blocks(
     blocks: jax.Array,       # uint8 [B, N]
     ns: jax.Array,           # int32 [B]
@@ -61,8 +66,12 @@ def _encode_blocks(
     *,
     nseg: int,
     nwords: int,
+    use_pallas: bool = False,
 ):
-    fn = partial(encode_one_block, nseg=nseg, nwords=nwords, chunk=_CHUNK)
+    fn = partial(
+        encode_one_block, nseg=nseg, nwords=nwords, chunk=_CHUNK,
+        use_pallas=use_pallas,
+    )
     return jax.vmap(fn)(blocks, ns, present)
 
 
@@ -142,7 +151,7 @@ def compress_blocks_payloads(
         else:
             dev = _encode_blocks(
                 jnp.asarray(arr), jnp.asarray(ns), jnp.asarray(pres),
-                nseg=nseg, nwords=nwords,
+                nseg=nseg, nwords=nwords, use_pallas=_use_pallas(),
             )
         pending.append((group, pres, dev))
         while len(pending) >= _INFLIGHT:

@@ -37,6 +37,9 @@ from .ops.bitpack import S
 from .parallel.dp import block_mesh, encode_blocks_sharded, encode_one_block
 from .parallel.serial import BlockPayload
 from .rle1 import split_blocks
+from .utils import enable_compile_cache
+
+enable_compile_cache()
 
 _CHUNK = 64           # MTF chunk length (sequential depth per chunk)
 _DEFAULT_BATCH = 8

@@ -44,16 +44,85 @@ def compress(data: bytes, level: int = 9, backend: str = "auto") -> bytes:
 
 
 def encode(
-    reader: BinaryIO, writer: BinaryIO, level: int = 9, backend: str = "auto"
+    reader: BinaryIO,
+    writer: BinaryIO,
+    level: int = 9,
+    backend: str = "auto",
+    span_bytes: int = 32 * 1024 * 1024,
 ) -> int:
-    """Stream-encode ``reader`` into ``writer``; returns bytes written.
+    """Stream-encode ``reader`` into ``writer`` with bounded memory.
 
-    Matches the reference crate's ``encode`` entry point (lib/lib.rs:84).
+    Matches the reference crate's ``encode`` entry point (lib/lib.rs:84):
+    input is pulled in ``span_bytes`` spans; all blocks of a span except
+    the last (which could still grow) are encoded and flushed immediately.
+    The only state carried between spans is the running stream CRC and the
+    unconsumed raw tail — exactly the reference's resumable state
+    (SURVEY.md §5, checkpoint/resume).
     """
-    data = reader.read()
-    out = compress(data, level, backend)
-    writer.write(out)
-    return len(out)
+    from .bitio import BitWriter
+    from .container import write_stream_footer, write_stream_header
+    from .crc32 import combine_stream_crc
+
+    if backend == "auto":
+        backend = os.environ.get("BANZAI_TPU_BACKEND", "")
+        if backend not in _BACKENDS or backend == "auto":
+            backend = "jax" if _jax_usable() else "numpy"
+
+    bw = BitWriter()
+    write_stream_header(bw, level)
+    stream_crc = 0
+    written = 0
+
+    def flush() -> None:
+        nonlocal written
+        chunk = bw.drain()
+        if chunk:
+            writer.write(chunk)
+            written += len(chunk)
+
+    tail = b""
+    eof = False
+    while not eof:
+        buf = reader.read(span_bytes)
+        eof = not buf
+        data = tail + buf
+        if not data:
+            break
+        if backend == "jax":
+            from .pipeline import compress_blocks_payloads
+            from .rle1 import split_blocks
+
+            blocks = split_blocks(data, level)
+            hold = 0 if eof else 1          # last block may still grow
+            take = blocks[: len(blocks) - hold] if hold else blocks
+            consumed = sum(b.consumed for b in take)
+            if take:
+                span = data[:consumed]
+                for p in compress_blocks_payloads(span, level):
+                    stream_crc = combine_stream_crc(stream_crc, p.crc)
+                    p.write(bw)
+            tail = data[consumed:]
+        else:
+            from .encoder_host import encode_block
+            from .rle1 import split_blocks
+
+            blocks = split_blocks(data, level)
+            hold = 0 if eof else 1
+            take = blocks[: len(blocks) - hold] if hold else blocks
+            consumed = 0
+            for blk in take:
+                stream_crc = combine_stream_crc(stream_crc, blk.crc)
+                encode_block(bw, blk.output, blk.crc)
+                consumed += blk.consumed
+            tail = data[consumed:]
+        flush()
+
+    write_stream_footer(bw, stream_crc)
+    final = bw.drain(final=True)
+    if final:
+        writer.write(final)
+        written += len(final)
+    return written
 
 
 def encode_file(input_path: str, output_path: str, level: int = 9) -> None:

@@ -21,6 +21,7 @@ class BitWriter:
         self._partial = 0          # current partial byte, left-aligned bits
         self._nbits = 0            # bits used in _partial (0..7)
         self._total_bits = 0
+        self._drained = 0          # whole bytes already handed out by drain()
 
     @property
     def bit_length(self) -> int:
@@ -83,7 +84,7 @@ class BitWriter:
             self._buf.extend(out.tobytes())
             # Rewind: keep only ceil((old_bits + nbits)/8) bytes.
             total = self._total_bits + nbits
-            keep = (total + 7) // 8
+            keep = (total + 7) // 8 - self._drained
             del self._buf[keep:]
 
         self._total_bits += nbits
@@ -102,6 +103,20 @@ class BitWriter:
             self._partial = 0
             self._nbits = 0
         return bytes(self._buf)
+
+    def drain(self, final: bool = False) -> bytes:
+        """Hand out the completed bytes so far and drop them from the
+        buffer (streaming output).  With ``final`` the partial byte is
+        zero-padded and included."""
+        if final:
+            out = self.close()
+        else:
+            out = bytes(self._buf)
+            self._buf.clear()
+        self._drained += len(out)
+        if final:
+            self._buf.clear()
+        return out
 
 
 def pack_bits_numpy(values: np.ndarray, lengths: np.ndarray) -> tuple[np.ndarray, int]:

@@ -36,7 +36,7 @@ from .crc32 import combine_stream_crc
 from .ops.bitpack import S
 from .parallel.dp import block_mesh, encode_blocks_sharded, encode_one_block
 from .parallel.serial import BlockPayload
-from .rle1 import split_blocks
+from .rle1 import iter_blocks
 from .utils import enable_compile_cache
 
 enable_compile_cache()
@@ -97,7 +97,6 @@ def compress_blocks_payloads(
     sharded: bool | None = None,
 ) -> list[BlockPayload]:
     """Encode ``data`` into per-block payloads (device pipeline)."""
-    host_blocks = split_blocks(data, level)
     N = _padded_len(level)
     nseg = (N + 1 + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
     nwords = _nwords(N, nseg)
@@ -109,7 +108,6 @@ def compress_blocks_payloads(
     if batch is None:
         batch = ndev * 2 if sharded else _DEFAULT_BATCH
 
-    nb = len(host_blocks)
     payloads: list[BlockPayload] = []
     pending: list[tuple[list, np.ndarray, tuple]] = []
 
@@ -132,12 +130,19 @@ def compress_blocks_payloads(
                 )
             )
 
-    for lo in range(0, nb, batch):
-        group = host_blocks[lo : lo + batch]
+    import itertools
+
+    block_iter = iter_blocks(data, level)
+    while True:
+        group = list(itertools.islice(block_iter, batch))
+        if not group:
+            break
         B = len(group)
-        # Pad the batch so there is exactly one compiled shape (dummy
-        # blocks are single-byte and their outputs are discarded).
-        pad_b = batch - B if (nb > batch or sharded) else 0
+        # Pad to a power-of-two batch (or the full mesh batch when
+        # sharded) so only a handful of shapes ever compile; dummy blocks
+        # are single-byte and their outputs are discarded.
+        tgt = batch if sharded else min(batch, 1 << (B - 1).bit_length())
+        pad_b = tgt - B
         arr = np.zeros((B + pad_b, N), np.uint8)
         ns = np.ones(B + pad_b, np.int32)
         pres = np.zeros((B + pad_b, 256), bool)

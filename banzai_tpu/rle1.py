@@ -12,11 +12,15 @@ equivalent to a pure function of the maximal-run decomposition (each maximal
 run of length L is consumed in chunks of min(255, remaining); a chunk c >= 4
 emits 5 bytes, else c literal bytes).  We therefore:
 
-1. vectorize the run decomposition and chunk emission with numpy (O(n),
-   no Python loop over bytes), and
-2. replay the exact state machine only inside a ~600-byte window around each
-   block boundary, starting from a provable "loop-top" checkpoint (the end
-   of a run emission, where the machine state is fully known).
+1. detect only the *big* (>=4) runs with vectorized boolean algebra — small
+   runs are literal pass-through and never materialized;
+2. expand big runs into a single global table of chunk-emission events with
+   exclusive prefix sums, so every block's output offsets are an affine
+   function of one precomputed monotone key (O(log) per block, no window
+   rebuilding);
+3. replay the exact state machine only inside a ~600-byte window around
+   each block boundary, starting from a provable "loop-top" checkpoint
+   (the end of a run emission, where the machine state is fully known).
 
 This reproduces the reference's block splits byte-exactly (differentially
 tested against a full Python replay of the machine) at vectorized speed.
@@ -125,71 +129,124 @@ def machine_replay(
 
 
 # ---------------------------------------------------------------------------
-# Vectorized run / chunk decomposition
+# Vectorized big-run detection and the global event table
 # ---------------------------------------------------------------------------
 
+def big_runs(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lens) of all maximal runs of length >= 4, vectorized.
+
+    Small runs are never materialized — crucial for run-dense inputs where
+    the full run decomposition would dominate the encode.
+    """
+    n = len(arr)
+    if n < 4:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    eq = arr[1:] == arr[:-1]                    # eq[i]: arr[i] == arr[i+1]
+    e3 = eq[:-2] & eq[1:-1] & eq[2:]            # 4 equal bytes from i
+    start_mask = e3.copy()
+    start_mask[1:] &= ~eq[:-3]                  # maximal: previous differs
+    starts = np.flatnonzero(start_mask).astype(np.int64)
+    if len(starts) == 0:
+        return starts, np.zeros(0, np.int64)
+    if len(starts) <= 4096:
+        # Sparse case: gallop from each start for its first break.
+        ends = np.empty(len(starts), np.int64)
+        for i, s in enumerate(starts):
+            v = arr[s]
+            e = s + 4
+            step = 64
+            while e < n and arr[e] == v:
+                nxt = min(n, e + step)
+                if np.all(arr[e:nxt] == v):
+                    e = nxt
+                    step *= 2
+                else:
+                    e += int(np.argmin(arr[e:nxt] == v))
+                    break
+            ends[i] = e
+        return starts, ends - starts
+    # Dense case: next inequality at/after each start via a reversed
+    # running minimum over break positions (contiguous copy — accumulate
+    # on a negative-stride view is an order of magnitude slower).
+    idx = np.arange(n - 1, dtype=np.int32)
+    nxt = np.where(eq, np.int32(n - 1), idx)[::-1].copy()
+    np.minimum.accumulate(nxt, out=nxt)
+    ends = nxt[n - 2 - starts].astype(np.int64) + 1   # run end (exclusive)
+    return starts, ends - starts
+
+
 @dataclass
-class Runs:
-    """Maximal-run decomposition of the input (positions ascending)."""
+class EventTable:
+    """Global chunk-emission events of all big runs, ascending by source.
 
-    starts: np.ndarray  # int64[n_runs]
-    lens: np.ndarray    # int64[n_runs]
-    data: np.ndarray    # uint8[n] original input
+    ``g = src_start - cum_in + cum_out`` is the monotone key that makes a
+    block's relative output offset affine: for a block starting at
+    ``offset`` with local prefix (in0, out0), event j's block-relative
+    output start is ``g[j] + C`` with C constant per block.
+    """
+
+    src_start: np.ndarray   # input position where the chunk begins
+    in_len: np.ndarray      # input bytes consumed (4..255, or <4 tail)
+    out_len: np.ndarray     # output bytes emitted (5, or in_len if < 4)
+    is_run: np.ndarray      # bool: emitted as "4 literals + count"
+    value: np.ndarray       # the repeated byte
+    cum_in: np.ndarray      # exclusive prefix sum of in_len
+    cum_out: np.ndarray     # exclusive prefix sum of out_len
+    g: np.ndarray           # src_start - cum_in + cum_out
+    run_end: np.ndarray     # end of the maximal run this chunk belongs to
 
 
-def decompose_runs(data: np.ndarray) -> Runs:
-    data = np.ascontiguousarray(data, dtype=np.uint8)
-    n = len(data)
-    if n == 0:
-        return Runs(np.zeros(0, np.int64), np.zeros(0, np.int64), data)
-    boundaries = np.flatnonzero(np.diff(data)) + 1
-    starts = np.concatenate(([0], boundaries)).astype(np.int64)
-    ends = np.concatenate((boundaries, [n])).astype(np.int64)
-    return Runs(starts, ends - starts, data)
+def _expand_chunks(
+    starts: np.ndarray, lens: np.ndarray, data: np.ndarray
+):
+    q, r = np.divmod(lens, 255)
+    npieces = q + (r > 0)
+    total = int(npieces.sum())
+    run_id = np.repeat(np.arange(len(starts)), npieces)
+    excl = np.cumsum(npieces) - npieces
+    within = np.arange(total, dtype=np.int64) - excl[run_id]
+    chunk = np.where(within < q[run_id], 255, r[run_id]).astype(np.int64)
+    src = starts[run_id] + within * 255
+    is_run = chunk >= 4
+    out_len = np.where(is_run, 5, chunk)
+    value = (
+        data[starts[run_id]] if total else np.zeros(0, np.uint8)
+    )
+    run_end = (starts + lens)[run_id] if total else np.zeros(0, np.int64)
+    return src, chunk, out_len, is_run, value, run_end
+
+
+def build_event_table(arr: np.ndarray) -> EventTable:
+    starts, lens = big_runs(arr)
+    src, chunk, out_len, is_run, value, run_end = _expand_chunks(
+        starts, lens, arr
+    )
+    cum_in = np.cumsum(chunk) - chunk
+    cum_out = np.cumsum(out_len) - out_len
+    g = src - cum_in + cum_out
+    return EventTable(
+        src, chunk, out_len, is_run, value, cum_in, cum_out, g, run_end
+    )
 
 
 @dataclass
 class _Events:
-    """Chunk emissions of big (>=4) runs, ascending by source position.
+    """Per-block view: chunk events with block-relative output offsets."""
 
-    Literal stretches between events advance output 1:1 with input, so they
-    need no materialization — this keeps memory O(#big-run chunks).
-    """
-
-    src_start: np.ndarray   # input position where the chunk begins
-    in_len: np.ndarray      # input bytes consumed (1..255)
-    out_len: np.ndarray     # output bytes emitted (5, or in_len if < 4)
-    is_run: np.ndarray      # bool: emitted as "4 literals + count"
-    value: np.ndarray       # the repeated byte
-    out_start: np.ndarray   # block-relative output position of the chunk
+    src_start: np.ndarray
+    in_len: np.ndarray
+    out_len: np.ndarray
+    is_run: np.ndarray
+    value: np.ndarray
+    out_start: np.ndarray
 
     def __len__(self) -> int:
         return len(self.src_start)
 
 
-def _build_events(
-    starts: np.ndarray, lens: np.ndarray, data: np.ndarray, block_offset: int
-) -> _Events:
-    big = lens >= 4
-    bstart = starts[big]
-    blen = lens[big]
-    q, r = np.divmod(blen, 255)
-    npieces = q + (r > 0)
-    total = int(npieces.sum())
-    run_id = np.repeat(np.arange(len(bstart)), npieces)
-    excl = np.cumsum(npieces) - npieces
-    within = np.arange(total, dtype=np.int64) - excl[run_id]
-    chunk = np.where(within < q[run_id], 255, r[run_id]).astype(np.int64)
-    src_start = bstart[run_id] + within * 255
-    is_run = chunk >= 4
-    out_len = np.where(is_run, 5, chunk)
-    value = data[bstart[run_id]] if total else np.zeros(0, np.uint8)
-    # Output position: literal gaps between events map 1:1 input->output.
-    cum_in = np.cumsum(chunk) - chunk
-    cum_out = np.cumsum(out_len) - out_len
-    out_start = (src_start - block_offset) - cum_in + cum_out
-    return _Events(src_start, chunk, out_len, is_run, value, out_start)
-
+# ---------------------------------------------------------------------------
+# Emission
+# ---------------------------------------------------------------------------
 
 def _emit_unbounded(
     ev: _Events, data: np.ndarray, block_offset: int, n_out: int, src_end: int
@@ -202,7 +259,6 @@ def _emit_unbounded(
     (``src_end`` is the matching input position for the literal tail).
     """
     out = np.empty(n_out, dtype=np.uint8)
-    # Which events are fully inside [0, n_out)?
     k = int(np.searchsorted(ev.out_start + ev.out_len, n_out, side="right"))
     e_src = ev.src_start[:k]
     e_in = ev.in_len[:k]
@@ -218,7 +274,13 @@ def _emit_unbounded(
     gap_out = np.concatenate(([0], e_ostart + e_out, e_ostart[~e_run]))
     gap_len = np.maximum(gap_end - gap_src, 0)
     total = int(gap_len.sum())
-    if total:
+    if total and len(gap_len) <= 256:
+        # Few gaps (typical for text blocks): direct slice copies beat the
+        # index-array scatter by a wide margin.
+        for gi in np.flatnonzero(gap_len):
+            o, s, L = gap_out[gi], gap_src[gi], gap_len[gi]
+            out[o : o + L] = data[s : s + L]
+    elif total:
         excl = np.cumsum(gap_len) - gap_len
         seg = np.repeat(np.arange(len(gap_len)), gap_len)
         within = np.arange(total, dtype=np.int64) - excl[seg]
@@ -226,7 +288,6 @@ def _emit_unbounded(
             data[np.repeat(gap_src, gap_len) + within]
         )
 
-    # Run-emission events: 4 literals + count byte.
     re = np.flatnonzero(e_run)
     if len(re):
         idx = e_ostart[re, None] + np.arange(4)[None, :]
@@ -246,65 +307,108 @@ class Rle1Block:
     crc: int             # bzip2 block CRC over the consumed raw bytes
 
 
-def split_blocks(data, level: int) -> list[Rle1Block]:
-    """Split ``data`` into RLE1-encoded blocks exactly as the reference
-    does (lib/lib.rs:101-126 + lib/rle.rs), at vectorized speed."""
+def iter_blocks(data, level: int):
+    """Lazily split ``data`` into RLE1-encoded blocks exactly as the
+    reference does (lib/lib.rs:101-126 + lib/rle.rs).  Lazy so the host
+    split of later blocks overlaps device encode of earlier ones."""
     if isinstance(data, np.ndarray):
         arr = np.ascontiguousarray(data, dtype=np.uint8)
     else:
         arr = np.frombuffer(bytes(data), dtype=np.uint8)
     n = len(arr)
     cap = block_capacity(level)
-    runs = decompose_runs(arr)
-    blocks: list[Rle1Block] = []
-    offset = 0
+    et = build_event_table(arr)
     data_bytes = arr.tobytes()
+    offset = 0
     while offset < n:
-        out, consumed = _next_block(runs, arr, data_bytes, offset, cap)
+        out, consumed = _next_block(et, arr, data_bytes, offset, cap)
         crc = block_crc(data_bytes[offset : offset + consumed])
-        blocks.append(Rle1Block(out, consumed, crc))
+        yield Rle1Block(out, consumed, crc)
         offset += consumed
-    return blocks
+
+
+def split_blocks(data, level: int) -> list[Rle1Block]:
+    """Eager form of :func:`iter_blocks`."""
+    return list(iter_blocks(data, level))
+
+
+def _local_chunks(offset: int, run_end: int, value: int):
+    """Chunk events for the remainder of a run truncated at ``offset``."""
+    src, inl, outl, isr = [], [], [], []
+    pos = offset
+    while run_end - pos > 0:
+        c = min(255, run_end - pos)
+        src.append(pos)
+        inl.append(c)
+        outl.append(5 if c >= 4 else c)
+        isr.append(c >= 4)
+        pos += c
+    return src, inl, outl, isr
 
 
 def _next_block(
-    runs: Runs, arr: np.ndarray, data_bytes: bytes, offset: int, cap: int
+    et: EventTable, arr: np.ndarray, data_bytes: bytes, offset: int, cap: int
 ) -> tuple[np.ndarray, int]:
     n = len(arr)
-    nruns = len(runs.starts)
-    # Runs overlapping [offset, ...): truncate the first one at offset.
-    r0 = int(np.searchsorted(runs.starts + runs.lens, offset, side="right"))
-    # Grow the run window until its *actual* unbounded output exceeds cap
-    # (or EOF); geometric growth keeps total work O(window).
-    step = max(64, cap // 512)
-    r1 = r0
-    while True:
-        r1 = min(r1 + step, nruns)
-        src_hi = n if r1 == nruns else int(runs.starts[r1])
-        starts = runs.starts[r0:r1].copy()
-        lens = runs.lens[r0:r1].copy()
-        if len(starts) and starts[0] < offset:
-            lens[0] -= offset - starts[0]
-            starts[0] = offset
-        ev = _build_events(starts, lens, arr, offset)
-        ev_out_end = ev.out_start + ev.out_len
-        ev_src_end = ev.src_start + ev.in_len
-        if len(ev):
-            last_out = int(ev_out_end[-1]) + (src_hi - int(ev_src_end[-1]))
-        else:
-            last_out = src_hi - offset
-        if last_out > cap or src_hi >= n:
-            break
-        step *= 2
+    ne = len(et.src_start)
 
-    if last_out <= cap and src_hi >= n:
-        # Whole remainder fits: pure unbounded emission.
-        out = _emit_unbounded(ev, arr, offset, last_out, n)
+    # --- local events: the (possibly) truncated run containing offset ----
+    k = int(np.searchsorted(et.src_start, offset, side="right")) - 1
+    loc_src: list = []
+    loc_in: list = []
+    loc_out: list = []
+    loc_isr: list = []
+    skip_until = offset
+    if k >= 0 and et.src_start[k] + et.in_len[k] > offset:
+        run_end = int(et.run_end[k])
+        rest = run_end - offset
+        if rest >= 4:
+            loc_src, loc_in, loc_out, loc_isr = _local_chunks(
+                offset, run_end, int(et.value[k])
+            )
+        # rest < 4: plain literals, part of the gap.
+        skip_until = run_end
+    e0 = int(np.searchsorted(et.src_start, skip_until, side="left"))
+
+    in_local = sum(loc_in)
+    out_local = sum(loc_out)
+    # Block-relative out_start of global event j >= e0: g[j] + C.
+    if e0 < ne:
+        C = (
+            -offset
+            - in_local
+            + out_local
+            + int(et.cum_in[e0])
+            - int(et.cum_out[e0])
+        )
+    else:
+        C = 0
+
+    # --- does the rest of the input fit the cap? -------------------------
+    if e0 < ne:
+        tail_in = n - int(et.src_start[ne - 1] + et.in_len[ne - 1])
+        last_out_end = int(et.g[ne - 1]) + C + int(et.out_len[ne - 1])
+        total_out = last_out_end + tail_in
+    else:
+        # Everything outside local chunk events is literal 1:1.
+        total_out = out_local + (n - offset - in_local)
+    if total_out <= cap:
+        ev = _slice_events(et, e0, ne, C, loc_src, loc_in, loc_out, loc_isr,
+                           arr, offset)
+        out = _emit_unbounded(ev, arr, offset, total_out, n)
         return out, n - offset
 
-    # ---- Boundary: find a checkpoint and replay the exact machine. ----
+    # --- find the cap crossing and a checkpoint --------------------------
     target = cap - _REPLAY_MARGIN
-    # Last run-emission event ending at or before target.
+    # Last global event with out_end <= target: g[j] + C + out_len[j] <= target
+    # out_len <= 5 so search on g then refine linearly a few steps.
+    j1 = int(np.searchsorted(et.g[e0:], target - C + 1, side="left")) + e0
+    j1 = min(j1 + 4, ne)
+    ev = _slice_events(et, e0, j1, C, loc_src, loc_in, loc_out, loc_isr,
+                       arr, offset)
+
+    ev_out_end = ev.out_start + ev.out_len
+    ev_src_end = ev.src_start + ev.in_len
     run_ev = np.flatnonzero(ev.is_run & (ev_out_end <= target))
     if len(run_ev):
         j = int(run_ev[-1])
@@ -317,8 +421,7 @@ def _next_block(
         cp_floor = offset  # blocks path-A lookback across the block start
         cp_out = 0
         next_j = 0
-    # Advance through the literal stretch toward the target (1:1, stride 2).
-    s_next = int(ev.src_start[next_j]) if next_j < len(ev.src_start) else n
+    s_next = int(ev.src_start[next_j]) if next_j < len(ev) else n
     avail = max(0, target - cp_out)
     lit_span = max(0, (s_next - 4) - cp_i)
     adv = min(avail, lit_span)
@@ -331,6 +434,44 @@ def _next_block(
     head = _emit_unbounded(ev, arr, offset, cp_out, cp_i)
     out = np.concatenate((head, np.frombuffer(bytes(tail), dtype=np.uint8)))
     return out, final_i - offset
+
+
+def _slice_events(
+    et: EventTable, e0: int, e1: int, C: int,
+    loc_src, loc_in, loc_out, loc_isr, arr: np.ndarray, offset: int,
+) -> _Events:
+    """Assemble the block's event view: local truncated-run chunks followed
+    by global events [e0, e1) with out_start = g + C."""
+    nl = len(loc_src)
+    src = np.concatenate(
+        (np.asarray(loc_src, np.int64), et.src_start[e0:e1])
+    )
+    inl = np.concatenate((np.asarray(loc_in, np.int64), et.in_len[e0:e1]))
+    outl = np.concatenate((np.asarray(loc_out, np.int64), et.out_len[e0:e1]))
+    isr = np.concatenate(
+        (np.asarray(loc_isr, bool), et.is_run[e0:e1])
+    )
+    val = np.concatenate(
+        (
+            arr[np.asarray(loc_src, np.int64)]
+            if nl
+            else np.zeros(0, np.uint8),
+            et.value[e0:e1],
+        )
+    )
+    # Local out_starts: literals between offset..first local chunk are 1:1.
+    if nl:
+        lo = np.cumsum(np.asarray(loc_out, np.int64)) - np.asarray(
+            loc_out, np.int64
+        )
+        loc_ostart = (np.asarray(loc_src, np.int64) - offset) - (
+            np.cumsum(np.asarray(loc_in, np.int64))
+            - np.asarray(loc_in, np.int64)
+        ) + lo
+    else:
+        loc_ostart = np.zeros(0, np.int64)
+    out_start = np.concatenate((loc_ostart, et.g[e0:e1] + C))
+    return _Events(src, inl, outl, isr, val, out_start)
 
 
 def machine_split_blocks(data, level: int) -> list[Rle1Block]:

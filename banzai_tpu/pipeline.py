@@ -90,6 +90,30 @@ def _bucket(n: int) -> int:
     return k
 
 
+def _host_payload(blk) -> BlockPayload:
+    """Encode one block's entropy payload on the host (NumPy twin)."""
+    from .bitio import BitWriter
+    from .huffman_host import plan_entropy, write_entropy
+    from .mtf_rle2 import mtf_indices, rle2_encode
+    from .oracle.stages import numpy_bwt
+
+    bwt, ptr = numpy_bwt(blk.output)
+    present = np.bincount(blk.output, minlength=256) > 0
+    num_names = int(present.sum())
+    idx = mtf_indices(bwt, present)
+    syms, freqs = rle2_encode(idx, num_names)
+    plan = plan_entropy(syms, num_names + 2, freqs)
+    bw = BitWriter()
+    write_entropy(bw, syms, plan)
+    nbits = bw.bit_length
+    raw = bw.close()
+    raw += b"\x00" * (-len(raw) % 4)
+    words = np.frombuffer(raw, dtype=">u4").astype(np.uint32)
+    return BlockPayload(
+        crc=blk.crc, ptr=ptr, present=present, words=words, nbits=nbits
+    )
+
+
 def compress_blocks_payloads(
     data: bytes,
     level: int = 9,
@@ -113,12 +137,20 @@ def compress_blocks_payloads(
 
     def drain_one() -> None:
         group, pres_h, dev = pending.pop(0)
-        words_d, nbits_d, ptrs_d = dev
-        nbits = np.asarray(nbits_d)
-        ptrs = np.asarray(ptrs_d)
-        kmax = max(1, int(nbits[: len(group)].max() + 31) // 32)
-        k = min(_bucket(kmax), nwords)
-        words = np.asarray(_fetch_words(words_d, k=k))
+        try:
+            words_d, nbits_d, ptrs_d = dev
+            nbits = np.asarray(nbits_d)
+            ptrs = np.asarray(ptrs_d)
+            kmax = max(1, int(nbits[: len(group)].max() + 31) // 32)
+            k = min(_bucket(kmax), nwords)
+            words = np.asarray(_fetch_words(words_d, k=k))
+        except Exception:
+            # Failure recovery: blocks are independent, so a lost device
+            # batch is simply re-encoded on the host (same algorithms,
+            # byte-identical output — see encoder_host).
+            for blk in group:
+                payloads.append(_host_payload(blk))
+            return
         for i, blk in enumerate(group):
             payloads.append(
                 BlockPayload(

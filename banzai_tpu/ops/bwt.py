@@ -70,7 +70,7 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
         # Quadrupling rounds: sort by ranks at offsets (0, k, 2k, 3k), so
         # each round extends the compared prefix 4x — half the rounds of
         # classic doubling, and sorts dominate the round cost.
-        k, rank, _order, _done = state
+        k, rank, _order, ngroups, _done = state
         r2 = cyc_shift(rank, k)
         r3 = cyc_shift(rank, 2 * k)
         r4 = cyc_shift(rank, 3 * k)
@@ -90,14 +90,19 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
         # Inverse permutation via key sort (scatters are slower on TPU).
         _, new_rank = jax.lax.sort((order, new_rank_sorted), num_keys=1)
         new_rank = jnp.where(valid, new_rank, _PAD_RANK)
-        distinct = new_rank_sorted[jnp.maximum(n - 1, 0)] == n - 1
+        ng2 = new_rank_sorted[jnp.maximum(n - 1, 0)] + 1
+        distinct = ng2 == n
+        # Fixpoint: a round that splits no group can never split one later
+        # (remaining ties are identical rotations — periodic input), so
+        # stop instead of doubling k all the way to n.
+        stalled = ng2 == ngroups
         k4 = k * 4
-        return (k4, new_rank, order, distinct | (k4 >= n))
+        return (k4, new_rank, order, ng2, distinct | stalled | (k4 >= n))
 
     # Round 1 unconditionally (keys: 3-byte packs at 0/3/6/9 -> k=12).
-    state = round_body((jnp.int32(3), rank0, idx, False))
-    _, rank, _, _ = jax.lax.while_loop(
-        lambda s: ~s[3], round_body, state
+    state = round_body((jnp.int32(3), rank0, idx, jnp.int32(-1), False))
+    _, rank, _, _, _ = jax.lax.while_loop(
+        lambda s: ~s[4], round_body, state
     )
 
     # Extract the BWT column by sorting the preceding-byte payload by final

@@ -203,8 +203,9 @@ def plan_entropy(
         )
     )
 
-    max_nt = min(MAX_TABLES, max(MIN_TABLES, num_syms))
-    for nt in range(MIN_TABLES, max_nt + 1):
+    # Same candidate set as the device twin (ops/huffman.NT_CANDIDATES):
+    # 2/3 dominate small blocks, 6 dominates large ones.
+    for nt in (2, 3, 6):
         tables, selectors = refine_tables(hist, freqs, num_syms, nt)
         bits = (
             selector_bits(selectors, nt)

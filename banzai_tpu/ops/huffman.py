@@ -22,7 +22,10 @@ from ..constants import CODEWORD_MAX_LEN, SEGMENT_WIDTH
 
 S = 258          # padded symbol alphabet
 T = 6            # max tables
-NC = 6           # candidates: single-table + nt in {2..6}
+# Candidate table counts: 2 and 3 dominate small blocks (and banzai's
+# quirky choice), 6 dominates large ones; 4/5 measure within ~0.5% of 6
+# and essentially never win, so they are dropped from the sweep.
+NT_CANDIDATES = (2, 3, 6)
 _INF_W = jnp.int32(1 << 29)   # > any finite package weight (sum of freqs)
 _BIG = jnp.float32(1e9)
 
@@ -110,7 +113,7 @@ def pm_lengths(freqs: jax.Array, num_syms: jax.Array) -> jax.Array:
 
 
 def initial_tables(freqs: jax.Array, num_syms: jax.Array) -> jax.Array:
-    """Initial partition lengths for every candidate: int32 [NC-1, T, S].
+    """Initial partition lengths for every candidate: int32 [NC, T, S].
 
     Symbol s goes to table floor(cumfreq_incl(s)-1) * nt / total; in-range
     symbols cost 0, others 15 (the cheap-in-range variant; shared rule with
@@ -121,7 +124,7 @@ def initial_tables(freqs: jax.Array, num_syms: jax.Array) -> jax.Array:
     cum = jnp.cumsum(f)
     total = jnp.maximum(cum[-1], 1)
     out = []
-    for nt in range(2, T + 1):
+    for nt in NT_CANDIDATES:
         owner = jnp.clip(
             (jnp.maximum(cum - 1, 0) * nt) // total, 0, nt - 1
         )
@@ -129,7 +132,7 @@ def initial_tables(freqs: jax.Array, num_syms: jax.Array) -> jax.Array:
             owner[None, :] == jnp.arange(T, dtype=jnp.int32)[:, None], 0, 15
         )
         out.append(tbl)
-    return jnp.stack(out).astype(jnp.int32)      # [5, T, S]
+    return jnp.stack(out).astype(jnp.int32)      # [NC, T, S]
 
 
 def selector_mtf(sel: jax.Array, nseg_used: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -189,9 +192,9 @@ def plan_entropy_device(
     freqs = jnp.sum(hist, axis=0).astype(jnp.int32)
     nseg_used = (out_len + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
 
-    # --- refinement for nt = 2..6, batched ---------------------------------
-    tables = initial_tables(freqs, num_syms).astype(jnp.float32)  # [5,T,S]
-    nt_arr = jnp.arange(2, T + 1, dtype=jnp.int32)                # [5]
+    # --- refinement for the candidate table counts, batched ---------------
+    tables = initial_tables(freqs, num_syms).astype(jnp.float32)  # [NC,T,S]
+    nt_arr = jnp.asarray(NT_CANDIDATES, dtype=jnp.int32)          # [NC]
     valid_t = jnp.arange(T, dtype=jnp.int32)[None, :] < nt_arr[:, None]
     sel = None
     for _ in range(4):

@@ -203,9 +203,8 @@ def plan_entropy(
         )
     )
 
-    # Same candidate set as the device twin (ops/huffman.NT_CANDIDATES):
-    # 2/3 dominate small blocks, 6 dominates large ones.
-    for nt in (2, 3, 6):
+    # Same candidate set as the device twin (ops/huffman.NT_CANDIDATES).
+    for nt in (2, 3, 4, 5, 6):
         tables, selectors = refine_tables(hist, freqs, num_syms, nt)
         bits = (
             selector_bits(selectors, nt)

@@ -22,10 +22,10 @@ from ..constants import CODEWORD_MAX_LEN, SEGMENT_WIDTH
 
 S = 258          # padded symbol alphabet
 T = 6            # max tables
-# Candidate table counts: 2 and 3 dominate small blocks (and banzai's
-# quirky choice), 6 dominates large ones; 4/5 measure within ~0.5% of 6
-# and essentially never win, so they are dropped from the sweep.
-NT_CANDIDATES = (2, 3, 6)
+# Candidate table counts: the full bzip2 range — the sweep is cheap
+# relative to the sort-dominated stages and every fraction of a percent of
+# compressed size counts against the bzip2 -9 baseline.
+NT_CANDIDATES = (2, 3, 4, 5, 6)
 _INF_W = jnp.int32(1 << 29)   # > any finite package weight (sum of freqs)
 _BIG = jnp.float32(1e9)
 

@@ -60,13 +60,20 @@ def encode_one_block(
     return words, total_bits, ptr
 
 
-@partial(jax.jit, static_argnames=("nseg", "nwords", "mesh", "chunk"))
+@partial(
+    jax.jit,
+    static_argnames=("nseg", "nwords", "mesh", "chunk", "use_pallas"),
+)
 def encode_blocks_sharded(
-    blocks, ns, present, *, nseg: int, nwords: int, mesh: Mesh, chunk: int = 512
+    blocks, ns, present, *, nseg: int, nwords: int, mesh: Mesh,
+    chunk: int = 512, use_pallas: bool = False,
 ):
     """Encode a [B, N] block batch sharded over ``mesh`` (B % ndev == 0)."""
     fn = jax.vmap(
-        partial(encode_one_block, nseg=nseg, nwords=nwords, chunk=chunk)
+        partial(
+            encode_one_block, nseg=nseg, nwords=nwords, chunk=chunk,
+            use_pallas=use_pallas,
+        )
     )
     sharded = jax.shard_map(
         fn,

@@ -187,6 +187,7 @@ def compress_blocks_payloads(
             dev = encode_blocks_sharded(
                 jnp.asarray(arr), jnp.asarray(ns), jnp.asarray(pres),
                 nseg=nseg, nwords=nwords, mesh=mesh, chunk=_CHUNK,
+                use_pallas=_use_pallas(),
             )
         else:
             dev = _encode_blocks(

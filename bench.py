@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def build_corpus(target_mb: float = 12.0) -> bytes:
+def build_corpus(target_mb: float = 20.0) -> bytes:
     """Deterministic mixed corpus: source text, binary, runs, periodic."""
     parts: list[bytes] = []
     # Text: jax's own source tree (stable inside the image).
@@ -76,7 +76,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "encode MB/s/chip, level 9, 12MB mixed corpus",
+                "metric": "encode MB/s/chip, level 9, 20MB mixed corpus",
                 "value": round(mbps, 3),
                 "unit": "MB/s",
                 "vs_baseline": round(mbps / bzip2_mbps, 3),

@@ -307,18 +307,43 @@ class Rle1Block:
     crc: int             # bzip2 block CRC over the consumed raw bytes
 
 
-def iter_blocks(data, level: int):
+def iter_blocks(data, level: int, native: bool | None = None):
     """Lazily split ``data`` into RLE1-encoded blocks exactly as the
     reference does (lib/lib.rs:101-126 + lib/rle.rs).  Lazy so the host
-    split of later blocks overlaps device encode of earlier ones."""
+    split of later blocks overlaps device encode of earlier ones.
+
+    Prefers the native C machine (banzai_tpu/native) when a toolchain is
+    available; the NumPy event-table path is the portable fallback and the
+    differential twin.
+    """
     if isinstance(data, np.ndarray):
         arr = np.ascontiguousarray(data, dtype=np.uint8)
     else:
         arr = np.frombuffer(bytes(data), dtype=np.uint8)
     n = len(arr)
     cap = block_capacity(level)
-    et = build_event_table(arr)
     data_bytes = arr.tobytes()
+
+    if native is not False:
+        from .native import get_rle1, rle1_block_native
+
+        lib = get_rle1()
+        if lib is not None:
+            offset = 0
+            while offset < n:
+                out_b, consumed = rle1_block_native(
+                    lib, data_bytes, offset, cap
+                )
+                crc = block_crc(data_bytes[offset : offset + consumed])
+                yield Rle1Block(
+                    np.frombuffer(out_b, dtype=np.uint8), consumed, crc
+                )
+                offset += consumed
+            return
+        if native:
+            raise RuntimeError("native RLE1 requested but unavailable")
+
+    et = build_event_table(arr)
     offset = 0
     while offset < n:
         out, consumed = _next_block(et, arr, data_bytes, offset, cap)

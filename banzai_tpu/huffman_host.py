@@ -27,7 +27,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .bitio import BitWriter
-from .constants import CODEWORD_MAX_LEN, MAX_TABLES, MIN_TABLES, SEGMENT_WIDTH
+from .constants import CODEWORD_MAX_LEN, SEGMENT_WIDTH
 
 
 # ---------------------------------------------------------------------------

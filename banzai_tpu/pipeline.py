@@ -144,10 +144,16 @@ def compress_blocks_payloads(
             kmax = max(1, int(nbits[: len(group)].max() + 31) // 32)
             k = min(_bucket(kmax), nwords)
             words = np.asarray(_fetch_words(words_d, k=k))
-        except Exception:
+        except Exception as e:
             # Failure recovery: blocks are independent, so a lost device
             # batch is simply re-encoded on the host (same algorithms,
             # byte-identical output — see encoder_host).
+            import warnings
+
+            warnings.warn(
+                f"device batch failed ({type(e).__name__}: {e}); "
+                f"re-encoding {len(group)} block(s) on host"
+            )
             for blk in group:
                 payloads.append(_host_payload(blk))
             return
@@ -165,15 +171,21 @@ def compress_blocks_payloads(
     import itertools
 
     block_iter = iter_blocks(data, level)
+    saw_full = False
     while True:
         group = list(itertools.islice(block_iter, batch))
         if not group:
             break
         B = len(group)
-        # Pad to a power-of-two batch (or the full mesh batch when
-        # sharded) so only a handful of shapes ever compile; dummy blocks
-        # are single-byte and their outputs are discarded.
-        tgt = batch if sharded else min(batch, 1 << (B - 1).bit_length())
+        # Batch padding policy: small one-shot inputs pad to a power of
+        # two (cheap compiles, cheap compute); once a full batch has been
+        # seen (a real stream) every tail pads to the full batch so only
+        # ONE shape ever compiles.  Sharded always uses the mesh batch.
+        if sharded or saw_full:
+            tgt = batch
+        else:
+            tgt = min(batch, 1 << (B - 1).bit_length())
+        saw_full = saw_full or B == batch
         pad_b = tgt - B
         arr = np.zeros((B + pad_b, N), np.uint8)
         ns = np.ones(B + pad_b, np.int32)

@@ -46,7 +46,7 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
       (bwt uint8[N] — first ``n`` entries valid, ptr int32).
     """
     N = block.shape[0]
-    N4 = max(N // 4, 1024)
+    N4 = max(N // 8, 1024)
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = idx < n
     zeros = jnp.zeros(N, jnp.int32)

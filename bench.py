@@ -49,10 +49,16 @@ def main() -> None:
     level = 9
     mb = len(corpus) / 1e6
 
-    # Baseline: system bzip2 -9 wall time (single core).
-    t0 = time.time()
-    p = subprocess.run(["bzip2", "-9", "-c"], input=corpus, capture_output=True)
-    bzip2_s = time.time() - t0
+    # Baseline: system bzip2 -9 wall time (single core).  Best of two runs
+    # — the shared host's load varies a lot, and a slowed-down baseline
+    # would overstate our ratio.
+    bzip2_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        p = subprocess.run(
+            ["bzip2", "-9", "-c"], input=corpus, capture_output=True
+        )
+        bzip2_s = min(bzip2_s, time.time() - t0)
     bzip2_mbps = mb / bzip2_s
 
     from banzai_tpu.pipeline import compress

@@ -15,6 +15,17 @@ _DEFAULT_CACHE = "/root/jaxcache" if os.path.isdir("/root/jaxcache") else (
 _done = False
 
 
+def _cpu_flags() -> bytes:
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith(b"flags"):
+                    return line
+    except OSError:
+        pass
+    return b""
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     global _done
     if _done:
@@ -28,6 +39,17 @@ def enable_compile_cache(path: str | None = None) -> None:
             or os.environ.get("JAX_COMPILATION_CACHE_DIR")
             or _DEFAULT_CACHE
         )
+        # XLA:CPU caches AOT machine code; loading entries compiled on a
+        # different host CPU can SIGILL.  Key the directory by a machine
+        # fingerprint so caches never cross hosts.
+        import hashlib
+        import platform
+
+        fp = hashlib.sha256(
+            (platform.machine() + platform.processor()).encode()
+            + _cpu_flags()
+        ).hexdigest()[:12]
+        cache = os.path.join(cache, fp)
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

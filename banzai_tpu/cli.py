@@ -161,8 +161,17 @@ def main(argv: list[str] | None = None) -> int:
 
     # Write output.
     if inv.stdout:
-        sys.stdout.buffer.write(out)
-        sys.stdout.buffer.flush()
+        try:
+            sys.stdout.buffer.write(out)
+            sys.stdout.buffer.flush()
+        except BrokenPipeError:
+            # Reader went away (e.g. `bnz -c x | head`); mirror bzip2's
+            # quiet exit instead of a traceback.
+            try:
+                sys.stdout.close()
+            except Exception:
+                pass
+            return EXIT_OUTPUT_IO
     else:
         path = inv.output
         if path is None:

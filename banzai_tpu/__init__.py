@@ -49,6 +49,7 @@ def encode(
     level: int = 9,
     backend: str = "auto",
     span_bytes: int = 32 * 1024 * 1024,
+    report=None,
 ) -> int:
     """Stream-encode ``reader`` into ``writer`` with bounded memory.
 
@@ -58,6 +59,9 @@ def encode(
     The only state carried between spans is the running stream CRC and the
     unconsumed raw tail — exactly the reference's resumable state
     (SURVEY.md §5, checkpoint/resume).
+
+    When ``report`` (a profiling.EncodeReport) is given, per-block stats
+    are appended to it as blocks are flushed.
     """
     from .bitio import BitWriter
     from .container import write_stream_footer, write_stream_header
@@ -98,9 +102,14 @@ def encode(
             consumed = sum(b.consumed for b in take)
             if take:
                 span = data[:consumed]
-                for p in compress_blocks_payloads(span, level):
+                for blk, p in zip(take, compress_blocks_payloads(span, level)):
                     stream_crc = combine_stream_crc(stream_crc, p.crc)
                     p.write(bw)
+                    if report is not None:
+                        report.add_block(
+                            blk.consumed, len(blk.output), p.nbits, p.ptr,
+                            p.crc,
+                        )
             tail = data[consumed:]
         else:
             from .encoder_host import encode_block
@@ -112,8 +121,14 @@ def encode(
             consumed = 0
             for blk in take:
                 stream_crc = combine_stream_crc(stream_crc, blk.crc)
+                bits0 = bw.bit_length
                 encode_block(bw, blk.output, blk.crc)
                 consumed += blk.consumed
+                if report is not None:
+                    report.add_block(
+                        blk.consumed, len(blk.output),
+                        bw.bit_length - bits0, 0, blk.crc,
+                    )
             tail = data[consumed:]
         flush()
 

@@ -2,14 +2,18 @@
 
 Flags (bnz/src/main.rs:32-59): ``--output <path>``, ``-c/--stdout``,
 ``-k/--keep``, ``-r/--remove``, ``-1``..``-9``, ``--fast``/``--best``,
-``-v/--verbose`` (parsed, unused — mirroring the reference quirk but we do
-emit per-block stats), ``-`` for stdin, ``--`` end-of-flags, combined short
-flags (``-kc9``), ``--help/--info/--version``.
+``-v/--verbose`` (dead in the reference; here it prints real per-block
+statistics), ``-`` for stdin, ``--`` end-of-flags, combined short flags
+(``-kc9``), ``--help/--info/--version``.
 
-Behavior: default level 9 (bnz/src/main.rs:165-170), default output
-``<input>.bz2`` (bnz/src/main.rs:268-277), input deleted unless the output
-was manually specified or ``--keep`` (bnz/src/main.rs:292-309).
-Exit codes 0/1/2/3 (bnz/src/main.rs:11-14).
+Behavior: default level 9 (bnz/src/main.rs:165-170); default output
+``<input>.bz2`` for file input and stdout for stdin input
+(bnz/src/main.rs:268-285); input kept iff an output destination was given
+unless ``-k``/``-r`` override, and deletion failure exits 3
+(bnz/src/main.rs:292-309).  Exit codes 0/1/2/3 (bnz/src/main.rs:11-14).
+The encode streams through the library's bounded-memory ``encode()``
+(never slurps the input), matching the reference's BufReader/BufWriter
+wiring (bnz/src/main.rs:259-287).
 """
 
 from __future__ import annotations
@@ -52,8 +56,9 @@ class Invocation:
         self.input: str | None = None
         self.output: str | None = None
         self.stdout = False
-        self.keep = False
-        self.remove = False
+        # tri-state like the reference's Option<bool> (bnz/src/main.rs:122):
+        # None = default policy, True = -k, False = -r (last flag wins).
+        self.keep_inf: bool | None = None
         self.verbose = False
         self.level: int | None = None
 
@@ -88,9 +93,9 @@ def parse_args(argv: list[str]) -> Invocation | int:
             elif name == "stdout":
                 inv.stdout = True
             elif name == "keep":
-                inv.keep = True
+                inv.keep_inf = True
             elif name == "remove":
-                inv.remove = True
+                inv.keep_inf = False
             elif name == "verbose":
                 inv.verbose = True
             elif name == "fast":
@@ -106,9 +111,9 @@ def parse_args(argv: list[str]) -> Invocation | int:
                 if ch == "c":
                     inv.stdout = True
                 elif ch == "k":
-                    inv.keep = True
+                    inv.keep_inf = True
                 elif ch == "r":
-                    inv.remove = True
+                    inv.keep_inf = False
                 elif ch == "v":
                     inv.verbose = True
                 elif ch.isdigit() and ch != "0":
@@ -137,67 +142,79 @@ def main(argv: list[str] | None = None) -> int:
     if isinstance(inv, int):
         return inv
 
-    from . import compress
+    from . import encode
 
-    # Read input.
+    # Open the reader (bnz/src/main.rs:259-266): stream, never slurp.
     if inv.input == "-":
-        data = sys.stdin.buffer.read()
+        reader = sys.stdin.buffer
+        close_reader = False
     else:
         try:
-            with open(inv.input, "rb") as f:
-                data = f.read()
+            reader = open(inv.input, "rb")
         except OSError as e:
             print(f"bnz: cannot read {inv.input}: {e}", file=sys.stderr)
             return EXIT_INPUT_IO
+        close_reader = True
 
-    out = compress(data, inv.level)
-    if inv.verbose:
-        ratio = len(out) / max(1, len(data))
-        print(
-            f"bnz: {len(data)} -> {len(out)} bytes "
-            f"({ratio * 100:.1f}%), level {inv.level}",
-            file=sys.stderr,
-        )
-
-    # Write output.
-    if inv.stdout:
+    # Open the writer (bnz/src/main.rs:268-285): unspecified output means
+    # <input>.bz2 for file input and STDOUT for stdin input.
+    out_path: str | None = None
+    if not inv.stdout and (inv.output is not None or inv.input != "-"):
+        out_path = inv.output if inv.output is not None else inv.input + ".bz2"
         try:
-            sys.stdout.buffer.write(out)
-            sys.stdout.buffer.flush()
-        except BrokenPipeError:
-            # Reader went away (e.g. `bnz -c x | head`); mirror bzip2's
-            # quiet exit instead of a traceback.
-            try:
-                sys.stdout.close()
-            except Exception:
-                pass
+            writer = open(out_path, "wb")
+        except OSError as e:
+            print(f"bnz: cannot write {out_path}: {e}", file=sys.stderr)
+            if close_reader:
+                reader.close()
             return EXIT_OUTPUT_IO
     else:
-        path = inv.output
-        if path is None:
-            if inv.input == "-":
-                print("bnz: stdin input requires -c or --output", file=sys.stderr)
-                return EXIT_USAGE
-            path = inv.input + ".bz2"
-        try:
-            with open(path, "wb") as f:
-                f.write(out)
-        except OSError as e:
-            print(f"bnz: cannot write {path}: {e}", file=sys.stderr)
-            return EXIT_OUTPUT_IO
+        writer = sys.stdout.buffer
+    close_writer = out_path is not None
 
-    # Input deletion policy (bnz/src/main.rs:292-309): delete unless output
-    # was manually specified, writing to stdout, or --keep.
-    if (
-        inv.input != "-"
-        and not inv.keep
-        and not inv.stdout
-        and (inv.output is None or inv.remove)
-    ):
+    report = None
+    if inv.verbose:
+        from .profiling import EncodeReport
+
+        report = EncodeReport(level=inv.level)
+
+    try:
+        encode(reader, writer, inv.level, report=report)
+        if not close_writer:
+            writer.flush()
+    except BrokenPipeError:
+        # Reader went away (e.g. `bnz -c x | head`); mirror bzip2's quiet
+        # exit instead of a traceback.
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        return EXIT_OUTPUT_IO
+    except OSError as e:
+        # Compression/IO failure mid-stream (bnz/src/main.rs:287-290).
+        print(f"bnz: error during compression: {e}", file=sys.stderr)
+        return EXIT_OUTPUT_IO
+    finally:
+        if close_reader:
+            reader.close()
+        if close_writer:
+            writer.close()
+
+    if report is not None:
+        print(report.summary(), file=sys.stderr)
+
+    # Input deletion policy (bnz/src/main.rs:292-309): default keeps the
+    # input only when an output destination was explicitly given (--output
+    # or -c); -k/-r override.  Deletion failure is an error (exit 3).
+    keep = inv.keep_inf
+    if keep is None:
+        keep = inv.stdout or inv.output is not None
+    if not keep and inv.input != "-":
         try:
             os.unlink(inv.input)
-        except OSError:
-            pass
+        except OSError as e:
+            print(f"bnz: error deleting input file: {e}", file=sys.stderr)
+            return EXIT_OUTPUT_IO
     return EXIT_OK
 
 

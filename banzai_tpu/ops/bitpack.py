@@ -179,8 +179,9 @@ def block_payload_entries(
     pos = jnp.arange(M, dtype=jnp.int32)
     live = pos < out_len
     sym_c = jnp.where(live, jnp.minimum(syms, S - 1), 0)
-    sel_per_sym = selectors[jnp.minimum(pos // SEGMENT_WIDTH, nseg - 1)]
-    packed = packed_tab[sel_per_sym, sym_c]
+    # Static 50x repeat instead of a full-width gather (nseg*50 >= M).
+    sel_per_sym = jnp.repeat(selectors, SEGMENT_WIDTH)[:M]
+    packed = packed_tab.reshape(-1)[sel_per_sym * S + sym_c]
     p_vals = (packed >> 5).astype(jnp.uint32)
     p_lens = jnp.where(live, packed & 31, 0)
 

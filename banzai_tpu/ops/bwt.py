@@ -9,19 +9,30 @@ sort plus elementwise scans — exactly the shape XLA compiles well.  No
 doubled input is needed: the cyclic shift ``(i + k) mod n`` realizes
 rotation comparison exactly.
 
-TPU-specific engineering:
+TPU-specific engineering (primitive costs measured on this chip — see
+tools/microbench.py):
   * the ``(i+k) mod n`` access is two contiguous dynamic slices, not a
     gather (gathers are the most expensive primitive on this hardware);
   * inverse permutations are key-sorts, not scatters;
-  * round 1 sorts packed 3-byte keys on four lanes, so quadrupling starts
-    at k = 12; each later round sorts ranks at offsets (0, k, 2k, 3k) —
-    half the rounds of classic doubling;
+  * round 1 sorts a 15-byte packed prefix (one 3-byte lane with headroom
+    for the pad sentinel + three full 4-byte lanes) in a single 4-key
+    sort, so quadrupling starts at k = 15;
+  * later full-width rounds sort ranks at offsets (0, k, 2k, 3k) — half
+    the rounds of classic doubling — and run only while the unresolved
+    lane count is too large for the compact buffer (full-width rounds
+    need no gathers; compact rounds cost ~gathers x width);
   * ranks are *positional* (Larsson–Sadakane style: a rank is the SA slot
-    of its group head), which lets a narrow phase-2 loop refine only the
-    unresolved lanes once they fit a quarter-width buffer;
+    of its group head), so refinement touches only unresolved lanes;
+  * refinement runs over a cascade of compact buffers (N/8 → N/32 →
+    N/128): resolved lanes are killed each round and sort to the back, so
+    the live prefix shrinks and each tier's sorts/gathers/scatters get
+    proportionally cheaper;
   * a round that splits no group is a fixpoint (remaining ties are
-    identical rotations — periodic input), so the loop exits early
-    instead of doubling k all the way to n.
+    identical rotations — periodic input), so every loop exits early
+    instead of doubling k all the way to n;
+  * all sorts are unstable (is_stable=False): positional ranks depend
+    only on key-equality patterns, never on tie order, and unstable
+    bitonic sorts skip XLA's implicit index tiebreaker key.
 
 Shapes are static: blocks are padded to capacity N; padded positions get
 rank +inf so they sort behind every real rotation and never disturb them.
@@ -35,6 +46,10 @@ import jax.numpy as jnp
 _PAD_RANK = jnp.int32(2**30)
 
 
+def _sort(ops, num_keys):
+    return jax.lax.sort(ops, num_keys=num_keys, is_stable=False)
+
+
 @jax.jit
 def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Compute the wrap-around BWT of ``block[:n]``.
@@ -46,7 +61,9 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
       (bwt uint8[N] — first ``n`` entries valid, ptr int32).
     """
     N = block.shape[0]
-    N4 = max(N // 8, 1024)
+    W1 = min(max(N // 8, 1024), N)
+    W2 = min(max(N // 32, 512), W1)
+    W3 = min(max(N // 128, 256), W2)
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = idx < n
     zeros = jnp.zeros(N, jnp.int32)
@@ -65,74 +82,116 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
         return jnp.where(valid, r2, _PAD_RANK)
 
     b = jnp.where(valid, block.astype(jnp.int32), 0)
-    pack3 = (b << 16) | (cyc_shift(b, 1) & 0xFF) << 8 | (cyc_shift(b, 2) & 0xFF)
-    rank0 = jnp.where(valid, pack3, _PAD_RANK)
 
-    def relabel(diffs: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    def byte(off: int) -> jax.Array:
+        return cyc_shift(b, jnp.int32(off)) & 0xFF
+
+    def relabel(diffs: jax.Array):
         """Positional ranks from a sorted-neighbor difference mask.
 
-        Returns (rank_sorted, ngroups, unresolved) over the valid region.
+        Returns (rank_sorted, live_groups, unresolved, multi): positional
+        ranks over the sorted array, the number of groups of size > 1, the
+        number of lanes in those groups, and their mask (valid lanes are
+        exactly the first n sorted slots).
         """
         is_head = jnp.concatenate([jnp.ones(1, bool), diffs])
-        head_pos = jax.lax.cummax(
-            jnp.where(is_head, idx, -1), axis=0
-        )
-        vmask = valid  # sorted valid lanes are exactly the first n
-        ngroups = jnp.sum((is_head & vmask).astype(jnp.int32))
+        head_pos = jax.lax.cummax(jnp.where(is_head, idx, -1), axis=0)
+        ngroups = jnp.sum((is_head & valid).astype(jnp.int32))
         nxt_head = jnp.concatenate([is_head[1:], jnp.ones(1, bool)])
-        singleton = is_head & nxt_head & vmask
-        unresolved = n - jnp.sum(singleton.astype(jnp.int32))
-        return head_pos, ngroups, unresolved
+        single = is_head & nxt_head
+        nsingle = jnp.sum((single & valid).astype(jnp.int32))
+        unres = n - nsingle
+        return head_pos, ngroups - nsingle, unres, ~single
 
-    def round_body(state):
-        k, rank, ngroups, _unres, _done = state
+    # ---- Round 1: 15-byte packed prefix, one 4-key sort -------------------
+    # idx is a 5th *key* (not payload) so ties keep ascending positions —
+    # the chain-resolution pass below needs per-group position order.
+    pack3 = (b << 16) | (byte(1) << 8) | byte(2)
+    key0 = jnp.where(valid, pack3, _PAD_RANK)
+
+    def pack4(off: int) -> jax.Array:
+        v = (
+            (byte(off) << 24)
+            | (byte(off + 1) << 16)
+            | (byte(off + 2) << 8)
+            | byte(off + 3)
+        )
+        return v.astype(jnp.uint32)
+
+    s1, s2, s3, s4, order = _sort(
+        (key0, pack4(3), pack4(7), pack4(11), idx), num_keys=5
+    )
+    diffs = (
+        (s1[1:] != s1[:-1])
+        | (s2[1:] != s2[:-1])
+        | (s3[1:] != s3[:-1])
+        | (s4[1:] != s4[:-1])
+    )
+    rank_sorted, live_groups, unres, multi = relabel(diffs)
+    _, rank = _sort((order, rank_sorted), num_keys=1)
+    rank = jnp.where(valid, rank, _PAD_RANK)
+    k = jnp.int32(15)
+
+    # ---- Tandem-repeat chain resolution ------------------------------------
+    # Periodic regions (runs after RLE1, short-period repeats) produce huge
+    # tie groups that plain doubling needs ~log4(region) full-width rounds
+    # to split.  But a group whose members form an arithmetic chain
+    # p, p+q, ..., with step q <= k is *analytically* ordered: equal
+    # k-prefixes give data period q over the chain span, so
+    # cmp(rot(p_j), rot(p_j+q)) telescopes to cmp(rot(p_end), rot(p_end+q))
+    # — one already-ordered cross-group comparison decides whether the
+    # whole chain ascends or descends by position (the tandem-repeat
+    # insight of Itoh–Tanaka-style suffix sorters, vectorized here as
+    # scans + one gather).
+    rank, resolved_lanes, resolved_groups, applied = _resolve_chains(
+        rank_sorted, order, rank, n, k, idx, valid
+    )
+    multi = multi & ~applied
+    unres = unres - resolved_lanes
+    live_groups = live_groups - resolved_groups
+    done = (unres == 0) | (k >= n)
+
+    # ---- Full-width quadrupling rounds while unresolved lanes are dense ---
+    def full_round(state):
+        k, rank, _o, _m, live_groups, _u, _d = state
         r2 = cyc_shift(rank, k)
         r3 = cyc_shift(rank, 2 * k)
         r4 = cyc_shift(rank, 3 * k)
-        s1, s2, s3, s4, order = jax.lax.sort(
-            (rank, r2, r3, r4, idx), num_keys=4
-        )
+        s1, s2, s3, s4, order = _sort((rank, r2, r3, r4, idx), num_keys=4)
         diffs = (
             (s1[1:] != s1[:-1])
             | (s2[1:] != s2[:-1])
             | (s3[1:] != s3[:-1])
             | (s4[1:] != s4[:-1])
         )
-        new_rank_sorted, ng2, unres = relabel(diffs)
-        # Inverse permutation via key sort (scatters are slower on TPU).
-        _, new_rank = jax.lax.sort((order, new_rank_sorted), num_keys=1)
+        rank_sorted, lg2, unres, multi = relabel(diffs)
+        _, new_rank = _sort((order, rank_sorted), num_keys=1)
         new_rank = jnp.where(valid, new_rank, _PAD_RANK)
-        distinct = ng2 == n
-        stalled = ng2 == ngroups
         k4 = k * 4
-        done = distinct | stalled | (k4 >= n)
-        return (k4, new_rank, ng2, unres, done)
+        # No group of size > 1 split and none resolved => fixpoint
+        # (identical rotations); k4 >= n => prefix covers the rotation.
+        stalled = (lg2 == live_groups) & (unres == state[5])
+        done = (unres == 0) | stalled | (k4 >= n)
+        return (k4, new_rank, order, multi, lg2, unres, done)
 
-    # Round 1 unconditionally (keys: 3-byte packs at 0/3/6/9 -> k=12).
-    state = round_body((jnp.int32(3), rank0, jnp.int32(-1), n, False))
-    k, rank, ngroups, unres, done = jax.lax.while_loop(
-        lambda s: ~s[4] & (s[3] > N4), round_body, state
+    state = (k, rank, order, multi, live_groups, unres, done)
+    state = jax.lax.while_loop(
+        lambda s: ~s[6] & (s[5] > W1), full_round, state
     )
+    k, rank, order, multi, live_groups, unres, done = state
 
-    # ---- Phase 2: refine only the unresolved lanes (fit in N4). ----------
-    def phase2(args):
-        k, rank, ngroups = args
-        # Recover SA order and group structure, then compact unresolved
-        # lanes (whole groups are unresolved together).
-        r_s, ord_s = jax.lax.sort((rank, idx), num_keys=1)
-        nxt_same = jnp.concatenate(
-            [r_s[1:] == r_s[:-1], jnp.zeros(1, bool)]
-        )
-        multi = (r_s != idx) | nxt_same          # group size > 1
-        unres_lane = multi & valid
-        ckey = jnp.where(unres_lane, idx, _PAD_RANK)
-        ck_s, c_pos, c_head = jax.lax.sort((ckey, ord_s, r_s), num_keys=1)
-        c_pos = c_pos[:N4]
-        c_head = jnp.where(ck_s[:N4] < _PAD_RANK, c_head[:N4], _PAD_RANK)
-        j2 = jnp.arange(N4, dtype=jnp.int32)
+    # ---- Compact refinement cascade ---------------------------------------
+    # Unresolved lanes (whole groups) move to a narrow buffer holding
+    # (position, group-head rank); resolved lanes are killed each round and
+    # sort to the back, so the live prefix shrinks monotonically.
+    ckey = jnp.where(multi & valid, idx, _PAD_RANK)
+    ck_s, c_pos_full = _sort((ckey, order), num_keys=1)
 
-        def p2_body(st):
-            k, rank, c_pos, c_head, ngroups, _done = st
+    def make_tier(W: int):
+        j2 = jnp.arange(W, dtype=jnp.int32)
+
+        def tier_body(st):
+            k, rank, c_pos, c_head, live_groups, _done = st
             live = c_head < _PAD_RANK
             ext = jnp.concatenate([rank, jnp.zeros(1, jnp.int32)])
 
@@ -145,7 +204,7 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
             g2 = shifted(1)
             g3 = shifted(2)
             g4 = shifted(3)
-            h_s, k2_s, k3_s, k4_s, p_s = jax.lax.sort(
+            h_s, k2_s, k3_s, k4_s, p_s = _sort(
                 (c_head, g2, g3, g4, c_pos), num_keys=4
             )
             grp_change = jnp.concatenate(
@@ -166,9 +225,11 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
                 jnp.where(sub_change | (j2 == 0), j2, -1), axis=0
             )
             live_s = h_s < _PAD_RANK
-            new_head = jnp.where(live_s, h_s + (sub_start - grp_start),
-                                 _PAD_RANK)
-            # Scatter refined ranks back into the full rank array.
+            new_head = jnp.where(
+                live_s, h_s + (sub_start - grp_start), _PAD_RANK
+            )
+            # Scatter refined ranks back into the full rank array (lanes
+            # resolved this round carry their final rank here too).
             tgt = jnp.where(live_s, p_s, N)
             rank2 = (
                 jnp.concatenate([rank, jnp.zeros(1, jnp.int32)])
@@ -176,24 +237,53 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
                 .set(jnp.where(live_s, new_head, 0))[:N]
             )
             rank2 = jnp.where(valid, rank2, _PAD_RANK)
-            # Group accounting within the compact buffer.
-            nsub = jnp.sum(((sub_change | (j2 == 0)) & live_s).astype(jnp.int32))
-            nlanes = jnp.sum(live_s.astype(jnp.int32))
-            distinct = nsub == nlanes
-            stalled = nsub == ngroups
+            # Kill resolved lanes: singleton sub-groups are final.
+            is_start = sub_change | (j2 == 0)
+            sub_end = jnp.concatenate([sub_change[1:], jnp.ones(1, bool)])
+            single = is_start & sub_end & live_s
+            c_head2 = jnp.where(single, _PAD_RANK, new_head)
+            nsub = jnp.sum((is_start & live_s).astype(jnp.int32))
+            nsingle = jnp.sum(single.astype(jnp.int32))
+            unres2 = jnp.sum(live_s.astype(jnp.int32)) - nsingle
             k4x = k * 4
-            done = distinct | stalled | (k4x >= n)
-            return (k4x, rank2, p_s, new_head, nsub, done)
+            # nsub == live_groups entering <=> no live group split.
+            done = (unres2 == 0) | (nsub == live_groups) | (k4x >= n)
+            return (k4x, rank2, p_s, c_head2, nsub - nsingle, done)
 
-        st = (k, rank, c_pos, c_head, jnp.int32(-1), unres == 0)
-        _, rank, _, _, _, _ = jax.lax.while_loop(
-            lambda s: ~s[5], p2_body, st
-        )
-        return rank
+        return tier_body
 
-    rank = jax.lax.cond(
-        done, lambda a: a[1], phase2, (k, rank, ngroups)
+    # Tier 1 (W1): enter from the full-width state.  Group-head ranks are
+    # recovered with one narrow gather (rank[c_pos]).
+    c_pos1 = c_pos_full[:W1]
+    lane_live1 = ck_s[:W1] < _PAD_RANK
+    ext_r = jnp.concatenate([rank, jnp.full(1, _PAD_RANK, jnp.int32)])
+    c_head1 = jnp.where(
+        lane_live1, ext_r[jnp.where(lane_live1, c_pos1, N)], _PAD_RANK
     )
+    st = (k, rank, c_pos1, c_head1, live_groups, done)
+    st = jax.lax.while_loop(
+        lambda s: ~s[5] & (_live(s[3]) > W2), make_tier(W1), st
+    )
+
+    # Tier switches must re-pack live lanes to the front: a tier round only
+    # pushes lanes killed in *previous* rounds to the back (they sort last
+    # by their PAD head at the next sort), so lanes killed in the tier's
+    # final round are still interleaved when the loop exits.  One narrow
+    # 2-op sort per switch restores the packed invariant before truncating.
+    def repack(st, W: int):
+        h2, p2 = _sort((st[3], st[2]), num_keys=1)
+        return (st[0], st[1], p2[:W], h2[:W], st[4], st[5])
+
+    # Tier 2 (W2).
+    st = repack(st, W2)
+    st = jax.lax.while_loop(
+        lambda s: ~s[5] & (_live(s[3]) > W3), make_tier(W2), st
+    )
+
+    # Tier 3 (W3): run to completion.
+    st = repack(st, W3)
+    st = jax.lax.while_loop(lambda s: ~s[5], make_tier(W3), st)
+    rank = st[1]
 
     # Extract the BWT column by sorting the preceding-byte payload by final
     # rank — one key sort instead of a full-width random gather.  Tied
@@ -201,7 +291,82 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # tie order is harmless; ptr may point at any row of rotation 0's tie
     # group (all rows are identical strings).
     prev_byte = cyc_shift(b, n - 1)
-    _, bwt_sorted = jax.lax.sort((rank, prev_byte), num_keys=1)
+    _, bwt_sorted = _sort((rank, prev_byte), num_keys=1)
     bwt = bwt_sorted.astype(jnp.uint8)
     ptr = jnp.sum(((rank < rank[0]) & valid).astype(jnp.int32))
     return bwt, ptr
+
+
+def _live(c_head: jax.Array) -> jax.Array:
+    return jnp.sum((c_head < _PAD_RANK).astype(jnp.int32))
+
+
+_QMAX = 15  # chain steps detected; must be <= the rank coverage k at entry
+
+
+def _resolve_chains(r_s, p_s, rank, n, k, idx, valid):
+    """Resolve arithmetic tie chains (tandem repeats) in closed form.
+
+    Operates in sorted space: ``r_s`` positional ranks per SA slot, ``p_s``
+    positions (ascending within tie groups — round 1 sorts with the
+    position as a final key), ``rank`` position-space ranks.  Only groups
+    whose members form one arithmetic progression with step q in [1, QMAX]
+    (QMAX <= k, so equal k-prefixes prove data periodicity over the chain
+    span) are touched.  Returns (new position-space rank, #lanes resolved,
+    #groups resolved, per-slot applied mask).
+    """
+    N = r_s.shape[0]
+    slot_valid = idx < n
+
+    same = jnp.concatenate(
+        [jnp.zeros(1, bool), r_s[1:] == r_s[:-1]]
+    ) & slot_valid
+    is_head = ~same
+    gstart = jax.lax.cummax(jnp.where(is_head, idx, -1), axis=0)
+    step = jnp.concatenate([jnp.zeros(1, jnp.int32), p_s[1:] - p_s[:-1]])
+    prev_head = jnp.concatenate([jnp.ones(1, bool), is_head[:-1]])
+    prev_step = jnp.concatenate([jnp.zeros(1, jnp.int32), step[:-1]])
+    ok_pair = same & (step >= 1) & (step <= _QMAX)
+    consistent = ok_pair & (prev_head | (step == prev_step))
+    bad = same & ~consistent
+    badmark = jax.lax.cummax(jnp.where(bad, idx, -1), axis=0)
+    ok_so_far = badmark < gstart
+
+    is_end = jnp.concatenate([is_head[1:], jnp.ones(1, bool)]) & slot_valid
+    multi = same | (
+        jnp.concatenate([same[1:], jnp.zeros(1, bool)])
+    )  # group size >= 2 (per slot)
+
+    # Evaluate the one cross-group comparison at each group-end slot:
+    # succ = position + q; its current rank orders the whole chain.
+    ext_rank = jnp.concatenate([rank, jnp.full(1, _PAD_RANK, jnp.int32)])
+    q = step  # at an end slot of an ok chain, the last pair's step == q
+    succ = jnp.where(n > 0, (p_s + q) % jnp.maximum(n, 1), 0)
+    end_cand = is_end & multi & ok_so_far
+    r_b = ext_rank[jnp.where(end_cand, succ, N)]
+    r_g = r_s
+    apply_g = end_cand & (r_b != r_g) & (r_b < _PAD_RANK)
+    asc = r_b > r_g
+
+    # Broadcast (end slot, apply, asc) back over each group: nearest end
+    # slot at >= own slot via a reversed cummin of packed (slot, flags).
+    pack = jnp.where(
+        is_end,
+        (idx << 2) | (apply_g.astype(jnp.int32) << 1) | asc.astype(jnp.int32),
+        jnp.int32(2**30),
+    )
+    rpack = jnp.flip(jax.lax.cummin(jnp.flip(pack), axis=0))
+    end_slot = rpack >> 2
+    apply_lane = ((rpack >> 1) & 1).astype(bool) & slot_valid & multi
+    asc_lane = (rpack & 1).astype(bool)
+
+    j = idx - gstart
+    m = end_slot - gstart + 1
+    chain_rank = jnp.where(asc_lane, r_g + j, r_g + (m - 1 - j))
+    new_r_s = jnp.where(apply_lane, chain_rank, r_s)
+
+    _, new_rank = _sort((p_s, new_r_s), num_keys=1)
+    new_rank = jnp.where(valid, new_rank, _PAD_RANK)
+    resolved_lanes = jnp.sum(apply_lane.astype(jnp.int32))
+    resolved_groups = jnp.sum((apply_lane & is_end).astype(jnp.int32))
+    return new_rank, resolved_lanes, resolved_groups, apply_lane

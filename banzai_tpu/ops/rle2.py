@@ -8,7 +8,11 @@ Device formulation: treat EOB as a sentinel "nonzero" appended at position
 n.  For every nonzero, the preceding zero-run length falls out of an
 exclusive cummax of nonzero positions; digit counts are exact integer
 bit-lengths (comparison ladder, no float log); output offsets are one
-exclusive cumsum; digits scatter in <=20 masked passes.
+exclusive cumsum.  The emit->output expansion is ONE scatter-max of source
+positions (targets are monotonic, so a cummax forward-fills coverage) plus
+ONE gather of a packed (zrun+1 | value<<21) field — scatters and gathers
+are the priciest primitives on this hardware, so the stage runs exactly
+one of each.
 """
 
 from __future__ import annotations
@@ -17,11 +21,13 @@ import jax
 import jax.numpy as jnp
 
 _MAX_DIGITS = 20  # zero runs < 2^20 (block <= 900_000)
-_TRASH = -1       # scatter target for masked lanes (wraps to the pad slot)
 
 
 def rle2_device(
-    mtf_idx: jax.Array, n: jax.Array, num_names: jax.Array
+    mtf_idx: jax.Array,
+    n: jax.Array,
+    num_names: jax.Array,
+    with_freqs: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Encode the MTF index stream.
 
@@ -29,10 +35,13 @@ def rle2_device(
       mtf_idx: int32[N] (valid first ``n``).
       n: int32 true length.
       num_names: int32 number of present byte values.
+      with_freqs: compute the [258] frequency histogram.  The fused device
+        pipeline derives frequencies from the segment histogram instead
+        (ops/huffman.segment_hist), so it passes False to skip the scatter.
     Returns:
       syms int32[N+1] (RLE2 symbols, padded with 258),
       out_len int32,
-      freqs int32[258].
+      freqs int32[258] (zeros when ``with_freqs`` is False).
     """
     N = mtf_idx.shape[0]
     M = N + 1
@@ -61,42 +70,48 @@ def rle2_device(
     off = ends - width                                  # exclusive
     out_len = ends[-1]
 
-    # Output slot j belongs to the emit entry whose output range [off, end)
-    # contains j.  Each entry's fields are scattered at its output start
-    # packed under its offset's high bits (offsets increase with entries,
-    # so a cummax forward-fills the covering entry's fields to every slot)
-    # — no gathers at all.  off < 2^20 and all packed fields are < 2^11.
+    # Expansion: scatter each emit entry's *source position* at its output
+    # start (targets are monotonic in entry order, so a plain cummax
+    # forward-fills every covered slot), then ONE gather of the packed
+    # per-entry fields.  zp1 <= 2^20 (21 bits) and val <= 258 (9 bits)
+    # pack into 30 bits.
     val = jnp.where(
         is_eob, eob, jnp.concatenate([mtf_idx, jnp.zeros(1, jnp.int32)]) + 1
     )
+    packed = zp1 | (val << 21)
     tgt = jnp.where(emit, off, M)
+    chain = (
+        jnp.full(M + 1, -1, jnp.int32)
+        .at[tgt]
+        .max(jnp.where(emit, pos, -1))[:M]
+    )
+    src = jax.lax.cummax(chain, axis=0)                 # covering entry pos
+    src_c = jnp.maximum(src, 0)
+    pk = packed[src_c]
+    zp1_f = pk & 0x1FFFFF
+    val_f = pk >> 21
 
-    def fill(field: jax.Array) -> jax.Array:
-        chain = (
-            jnp.full(M + 1, -1, jnp.int32)
-            .at[tgt]
-            .max(jnp.where(emit, (off << 11) | field, -1))[:M]
-        )
-        return jax.lax.cummax(chain, axis=0)
-
-    f_lo = fill(zp1 & 0x7FF)
-    f_hi = fill(zp1 >> 11)
-    f_val = fill(val)
-    off_f = f_lo >> 11
-    zp1_f = (f_lo & 0x7FF) | ((f_hi & 0x7FF) << 11)
+    # Entry start slots: where the covering source changes (or slot 0).
+    src_prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), src[:-1]])
+    is_start = src != src_prev
+    off_f = jax.lax.cummax(jnp.where(is_start, pos, -1), axis=0)
     d = pos - off_f
     digit = (zp1_f >> jnp.clip(d, 0, _MAX_DIGITS)) & 1
     # The symbol occupies an entry's last slot: the next slot starts a new
-    # entry (off changes) or the stream ends.
-    off_next = jnp.concatenate([off_f[1:], jnp.full(1, -1, jnp.int32)])
-    is_sym_slot = (off_next != off_f) | (pos == out_len - 1)
-    syms = jnp.where(is_sym_slot, f_val & 0x7FF, digit)
+    # entry or the stream ends.
+    is_sym_slot = jnp.concatenate(
+        [is_start[1:], jnp.ones(1, bool)]
+    ) | (pos == out_len - 1)
+    syms = jnp.where(is_sym_slot, val_f, digit)
     live = pos < out_len
     syms = jnp.where(live, syms, 258)
 
-    freqs = (
-        jnp.zeros(259, jnp.int32)
-        .at[syms]
-        .add(live.astype(jnp.int32))[:258]
-    )
+    if with_freqs:
+        freqs = (
+            jnp.zeros(259, jnp.int32)
+            .at[syms]
+            .add(live.astype(jnp.int32))[:258]
+        )
+    else:
+        freqs = jnp.zeros(258, jnp.int32)
     return syms, out_len, freqs

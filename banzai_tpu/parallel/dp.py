@@ -44,7 +44,7 @@ def encode_one_block(
     num_syms = num_names + 2
     bwt, ptr = bwt_rotations(block, n)
     idx = mtf_indices_device(bwt, n, pres, chunk=chunk, use_pallas=use_pallas)
-    syms, out_len, _freqs = rle2_device(idx, n, num_names)
+    syms, out_len, _ = rle2_device(idx, n, num_names, with_freqs=False)
     plan = plan_entropy_device(syms, out_len, num_syms, nseg)
     vals, lens = block_payload_entries(
         syms,

@@ -52,7 +52,9 @@ def _padded_len(level: int) -> int:
 
 
 def _nwords(N: int, nseg: int) -> int:
-    worst = 18 + 6 * nseg + 6 * (5 + S * 34) + 20 * (N + 1)
+    # Payload codewords are <= CODEWORD_MAX_LEN = 17 bits each; selectors
+    # <= 6 bits; each table symbol's delta group <= 34 bits.
+    worst = 18 + 6 * nseg + 6 * (5 + S * 34) + 17 * (N + 1)
     return (worst + 31) // 32 + 2
 
 

@@ -33,6 +33,16 @@ class EncodeReport:
     blocks: list[BlockStats] = field(default_factory=list)
     stage_seconds: dict = field(default_factory=dict)
 
+    def add_block(
+        self, consumed: int, rle1_len: int, payload_bits: int,
+        ptr: int, crc: int,
+    ) -> None:
+        self.blocks.append(
+            BlockStats(
+                len(self.blocks), consumed, rle1_len, payload_bits, ptr, crc
+            )
+        )
+
     def summary(self) -> str:
         total_in = sum(b.consumed for b in self.blocks)
         total_bits = sum(b.payload_bits for b in self.blocks)

@@ -4,18 +4,24 @@ import sys
 
 import pytest
 
-from banzai_tpu.cli import EXIT_OK, EXIT_USAGE, parse_args
+from banzai_tpu.cli import EXIT_OK, EXIT_OUTPUT_IO, EXIT_USAGE, parse_args
 
 
 def test_parse_defaults():
     inv = parse_args(["file.txt"])
     assert inv.input == "file.txt" and inv.level == 9
-    assert not inv.keep and not inv.stdout
+    assert inv.keep_inf is None and not inv.stdout
 
 
 def test_parse_combined_short_flags():
     inv = parse_args(["-kc9", "x"])
-    assert inv.keep and inv.stdout and inv.level == 9
+    assert inv.keep_inf is True and inv.stdout and inv.level == 9
+
+
+def test_parse_keep_remove_last_wins():
+    # Mirrors the reference's Option<bool> overwrite (bnz/src/main.rs:193-196).
+    assert parse_args(["-k", "-r", "x"]).keep_inf is False
+    assert parse_args(["-r", "--keep", "x"]).keep_inf is True
 
 
 def test_parse_aliases_and_output():
@@ -37,15 +43,19 @@ def test_parse_errors():
     assert parse_args(["--output"]) == EXIT_USAGE
 
 
+def _run(args, data=None, cwd="/root/repo"):
+    env = dict(os.environ, BANZAI_TPU_BACKEND="numpy")
+    return subprocess.run(
+        [sys.executable, "-m", "banzai_tpu.cli", *args],
+        capture_output=True, env=env, cwd=cwd, input=data,
+    )
+
+
 def test_cli_roundtrip(tmp_path, bunzip):
     src = tmp_path / "data.txt"
     payload = b"the quick brown fox " * 200
     src.write_bytes(payload)
-    env = dict(os.environ, BANZAI_TPU_BACKEND="numpy")
-    p = subprocess.run(
-        [sys.executable, "-m", "banzai_tpu.cli", "-k", "-1", str(src)],
-        capture_output=True, env=env, cwd="/root/repo",
-    )
+    p = _run(["-k", "-1", str(src)])
     assert p.returncode == 0, p.stderr
     out = (tmp_path / "data.txt.bz2").read_bytes()
     assert bunzip(out) == payload
@@ -55,10 +65,72 @@ def test_cli_roundtrip(tmp_path, bunzip):
 def test_cli_deletes_input_by_default(tmp_path):
     src = tmp_path / "g.txt"
     src.write_bytes(b"abc" * 100)
-    p = subprocess.run(
-        [sys.executable, "-m", "banzai_tpu.cli", "-1", str(src)],
-        capture_output=True, cwd="/root/repo",
-    )
+    p = _run(["-1", str(src)])
     assert p.returncode == 0, p.stderr
     assert not src.exists()
     assert (tmp_path / "g.txt.bz2").exists()
+
+
+def test_cli_output_flag_keeps_input_by_default(tmp_path, bunzip):
+    # Reference: default keep iff an output destination was given
+    # (bnz/src/main.rs:292-299).
+    src = tmp_path / "h.txt"
+    src.write_bytes(b"xyz" * 50)
+    dst = tmp_path / "h.out"
+    p = _run(["-1", "--output", str(dst), str(src)])
+    assert p.returncode == 0, p.stderr
+    assert src.exists()
+    assert bunzip(dst.read_bytes()) == b"xyz" * 50
+
+
+def test_cli_remove_overrides_output_keep(tmp_path):
+    src = tmp_path / "i.txt"
+    src.write_bytes(b"qrs" * 50)
+    dst = tmp_path / "i.out"
+    p = _run(["-1", "-r", "--output", str(dst), str(src)])
+    assert p.returncode == 0, p.stderr
+    assert not src.exists()
+
+
+def test_cli_stdin_defaults_to_stdout(bunzip):
+    # Reference: stdin input + unspecified output writes to stdout
+    # (bnz/src/main.rs:268-285).
+    payload = b"stdin to stdout " * 100
+    p = _run(["-1", "-"], data=payload)
+    assert p.returncode == 0, p.stderr
+    assert bunzip(p.stdout) == payload
+
+
+def test_cli_stdout_flag(bunzip, tmp_path):
+    src = tmp_path / "j.txt"
+    src.write_bytes(b"stream me " * 40)
+    p = _run(["-c", "-1", str(src)])
+    assert p.returncode == 0, p.stderr
+    assert bunzip(p.stdout) == b"stream me " * 40
+    assert src.exists()          # -c counts as an output destination
+
+
+def test_cli_deletion_failure_exits_3(tmp_path, monkeypatch, capsys):
+    # Reference: failed input deletion is an error (bnz/src/main.rs:302-307).
+    # Tested in-process (this suite runs as root, so permission bits cannot
+    # force an unlink failure in a subprocess).
+    import banzai_tpu.cli as cli
+
+    monkeypatch.setenv("BANZAI_TPU_BACKEND", "numpy")
+    src = tmp_path / "k.txt"
+    src.write_bytes(b"data" * 30)
+    monkeypatch.setattr(
+        cli.os, "unlink",
+        lambda p: (_ for _ in ()).throw(OSError("unlink denied")),
+    )
+    rc = cli.main(["-1", str(src)])
+    assert rc == EXIT_OUTPUT_IO
+    assert "deleting" in capsys.readouterr().err
+
+
+def test_cli_verbose_emits_block_stats(tmp_path):
+    src = tmp_path / "v.txt"
+    src.write_bytes(b"verbose me " * 500)
+    p = _run(["-v", "-k", "-1", str(src)])
+    assert p.returncode == 0, p.stderr
+    assert b"block 0:" in p.stderr and b"rle1" in p.stderr

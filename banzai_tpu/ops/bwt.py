@@ -68,23 +68,25 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     valid = idx < n
     zeros = jnp.zeros(N, jnp.int32)
 
-    def cyc_shift(arr: jax.Array, k: jax.Array) -> jax.Array:
-        # arr[(i + k) mod n] for i < n.  Two contiguous dynamic slices
-        # replace a full-width gather; k is reduced mod n so any shift
-        # amount is cyclically correct.
-        k = jnp.where(n > 0, k % n, 0)
-        ext = jnp.concatenate([arr, zeros])
-        lo = jax.lax.dynamic_slice(ext, (jnp.maximum(k, 0),), (N,))
-        ext2 = jnp.concatenate([zeros, arr])
-        start = jnp.clip(N - (n - k), 0, N)
-        hi = jax.lax.dynamic_slice(ext2, (start,), (N,))
-        r2 = jnp.where(idx < n - k, lo, hi)
-        return jnp.where(valid, r2, _PAD_RANK)
-
     b = jnp.where(valid, block.astype(jnp.int32), 0)
 
+    # Cyclic extension of the block: dbl[j] = b[j mod n] for every j the
+    # prefix keys read (j <= (n-1) + QMAX + 14).  Built by log-doubling the
+    # covered prefix — ~20 cheap dynamic-update-slices — so that every
+    # byte(off) below is a *static* slice that fuses into its consumers
+    # (the old per-offset dynamic-slice pairs were ~230 separate thunks).
+    dbl = jax.lax.dynamic_update_slice(jnp.zeros(2 * N, jnp.int32), b, (0,))
+    cov = jnp.maximum(n, 1)
+    need = n + _QMAX + 15
+    for _ in range(20):  # cov = n * 2^t >= need for any n >= 1
+        ext = jax.lax.dynamic_update_slice(
+            dbl, jax.lax.slice(dbl, (0,), (N,)), (cov,)
+        )
+        dbl = jnp.where(cov < need, ext, dbl)
+        cov = cov * 2
+
     def byte(off: int) -> jax.Array:
-        return cyc_shift(b, jnp.int32(off)) & 0xFF
+        return jax.lax.slice(dbl, (off,), (off + N,))
 
     def relabel(diffs: jax.Array):
         """Positional ranks from a sorted-neighbor difference mask.
@@ -118,8 +120,27 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
         )
         return v.astype(jnp.uint32)
 
-    s1, s2, s3, s4, order = _sort(
-        (key0, pack4(3), pack4(7), pack4(11), idx), num_keys=5
+    k1, k2, k3 = pack4(3), pack4(7), pack4(11)
+
+    # Chain-resolution precompute (position space, zero gathers): for every
+    # candidate period q the lex relation between prefix15(i+q) and
+    # prefix15(i), as (gt, eq) bit pairs packed into one int32 payload that
+    # rides the round-1 sort.  See _resolve_chains for how they are used.
+    cmpbits = zeros
+    for q in range(1, _QMAX + 1):
+        q0 = (byte(q) << 16) | (byte(q + 1) << 8) | byte(q + 2)
+        q1, q2, q3 = pack4(q + 3), pack4(q + 7), pack4(q + 11)
+        e0, e1, e2, e3 = q0 == pack3, q1 == k1, q2 == k2, q3 == k3
+        eq = e0 & e1 & e2 & e3
+        gt = (q0 > pack3) | (
+            e0 & ((q1 > k1) | (e1 & ((q2 > k2) | (e2 & (q3 > k3)))))
+        )
+        cmpbits = cmpbits | (
+            gt.astype(jnp.int32) << (2 * (q - 1))
+        ) | (eq.astype(jnp.int32) << (2 * (q - 1) + 1))
+
+    s1, s2, s3, s4, order, cmp_s = _sort(
+        (key0, k1, k2, k3, idx, cmpbits), num_keys=5
     )
     diffs = (
         (s1[1:] != s1[:-1])
@@ -128,8 +149,6 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
         | (s4[1:] != s4[:-1])
     )
     rank_sorted, live_groups, unres, multi = relabel(diffs)
-    _, rank = _sort((order, rank_sorted), num_keys=1)
-    rank = jnp.where(valid, rank, _PAD_RANK)
     k = jnp.int32(15)
 
     # ---- Tandem-repeat chain resolution ------------------------------------
@@ -139,40 +158,54 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # p, p+q, ..., with step q <= k is *analytically* ordered: equal
     # k-prefixes give data period q over the chain span, so
     # cmp(rot(p_j), rot(p_j+q)) telescopes to cmp(rot(p_end), rot(p_end+q))
-    # — one already-ordered cross-group comparison decides whether the
+    # — one cross-group comparison at the chain end decides whether the
     # whole chain ascends or descends by position (the tandem-repeat
-    # insight of Itoh–Tanaka-style suffix sorters, vectorized here as
-    # scans + one gather).
+    # insight of Itoh–Tanaka-style suffix sorters).  The comparison itself
+    # is the precomputed prefix15 relation carried in ``cmp_s``, so the
+    # pass costs no gather and the single inverse-permutation sort below
+    # doubles as round 1's rank inversion.
     rank, resolved_lanes, resolved_groups, applied = _resolve_chains(
-        rank_sorted, order, rank, n, k, idx, valid
+        rank_sorted, order, cmp_s, n, idx, valid
     )
     multi = multi & ~applied
     unres = unres - resolved_lanes
     live_groups = live_groups - resolved_groups
     done = (unres == 0) | (k >= n)
 
-    # ---- Full-width quadrupling rounds while unresolved lanes are dense ---
+    # ---- Full-width octupling rounds while unresolved lanes are dense -----
+    # Offsets k..7k tile [p, p+8k) of rank coverage in ONE 8-key sort; the
+    # shifts are single dynamic slices of a 2-copy rank extension, so one
+    # wide round costs barely more than a quadrupling round but usually
+    # ends the full-width phase in a single lockstep iteration.
+    _FMULT = 8
+
     def full_round(state):
         k, rank, _o, _m, live_groups, _u, _d = state
-        r2 = cyc_shift(rank, k)
-        r3 = cyc_shift(rank, 2 * k)
-        r4 = cyc_shift(rank, 3 * k)
-        s1, s2, s3, s4, order = _sort((rank, r2, r3, r4, idx), num_keys=4)
-        diffs = (
-            (s1[1:] != s1[:-1])
-            | (s2[1:] != s2[:-1])
-            | (s3[1:] != s3[:-1])
-            | (s4[1:] != s4[:-1])
+        dblr = jax.lax.dynamic_update_slice(
+            jnp.full(2 * N, _PAD_RANK, jnp.int32), rank, (0,)
         )
+        dblr = jax.lax.dynamic_update_slice(dblr, rank, (n,))
+
+        def shift(m):
+            s = jnp.where(n > 0, (m * k) % n, 0)
+            r = jax.lax.dynamic_slice(dblr, (s,), (N,))
+            return jnp.where(valid, r, _PAD_RANK)
+
+        ops = (rank,) + tuple(shift(m) for m in range(1, _FMULT)) + (idx,)
+        sorted_ops = _sort(ops, num_keys=_FMULT)
+        order = sorted_ops[-1]
+        diffs = jnp.zeros(N - 1, bool)
+        for s_op in sorted_ops[:-1]:
+            diffs = diffs | (s_op[1:] != s_op[:-1])
         rank_sorted, lg2, unres, multi = relabel(diffs)
         _, new_rank = _sort((order, rank_sorted), num_keys=1)
         new_rank = jnp.where(valid, new_rank, _PAD_RANK)
-        k4 = k * 4
+        kx = k * _FMULT
         # No group of size > 1 split and none resolved => fixpoint
-        # (identical rotations); k4 >= n => prefix covers the rotation.
+        # (identical rotations); kx >= n => prefix covers the rotation.
         stalled = (lg2 == live_groups) & (unres == state[5])
-        done = (unres == 0) | stalled | (k4 >= n)
-        return (k4, new_rank, order, multi, lg2, unres, done)
+        done = (unres == 0) | stalled | (kx >= n)
+        return (kx, new_rank, order, multi, lg2, unres, done)
 
     state = (k, rank, order, multi, live_groups, unres, done)
     state = jax.lax.while_loop(
@@ -187,6 +220,11 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     ckey = jnp.where(multi & valid, idx, _PAD_RANK)
     ck_s, c_pos_full = _sort((ckey, order), num_keys=1)
 
+    _MULTS = 7  # compact rounds *octuple* k: offsets k..7k in one fused
+    # gather + one 8-key sort — coverage per round doubles vs quadrupling
+    # for the same total gather lanes, halving the per-round fixed costs
+    # (sort dispatch, scatter-back, loop overhead).
+
     def make_tier(W: int):
         j2 = jnp.arange(W, dtype=jnp.int32)
 
@@ -195,28 +233,29 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
             live = c_head < _PAD_RANK
             ext = jnp.concatenate([rank, jnp.zeros(1, jnp.int32)])
 
-            def shifted(mult):
-                j = c_pos + mult * k
-                j = jnp.where(n > 0, j % n, 0)
-                j = jnp.where(live, j, N)
-                return jnp.where(live, ext[j], _PAD_RANK)
-
-            g2 = shifted(1)
-            g3 = shifted(2)
-            g4 = shifted(3)
-            h_s, k2_s, k3_s, k4_s, p_s = _sort(
-                (c_head, g2, g3, g4, c_pos), num_keys=4
+            # All shifted-rank lookups ride ONE gather of _MULTS*W lanes.
+            mults = jnp.arange(1, _MULTS + 1, dtype=jnp.int32)
+            j = c_pos[None, :] + mults[:, None] * k
+            j = jnp.where(n > 0, j % n, 0)
+            j = jnp.where(live[None, :], j, N)
+            gs = jnp.where(
+                live[None, :], ext[j.reshape(-1)].reshape(_MULTS, W),
+                _PAD_RANK,
             )
+
+            sorted_ops = _sort(
+                (c_head, *tuple(gs), c_pos), num_keys=1 + _MULTS
+            )
+            h_s = sorted_ops[0]
+            p_s = sorted_ops[-1]
             grp_change = jnp.concatenate(
                 [jnp.zeros(1, bool), h_s[1:] != h_s[:-1]]
             )
+            key_change = jnp.zeros(W - 1, bool)
+            for g_s in sorted_ops[1:-1]:
+                key_change = key_change | (g_s[1:] != g_s[:-1])
             sub_change = grp_change | jnp.concatenate(
-                [
-                    jnp.zeros(1, bool),
-                    (k2_s[1:] != k2_s[:-1])
-                    | (k3_s[1:] != k3_s[:-1])
-                    | (k4_s[1:] != k4_s[:-1]),
-                ]
+                [jnp.zeros(1, bool), key_change]
             )
             grp_start = jax.lax.cummax(
                 jnp.where(grp_change | (j2 == 0), j2, -1), axis=0
@@ -245,10 +284,10 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
             nsub = jnp.sum((is_start & live_s).astype(jnp.int32))
             nsingle = jnp.sum(single.astype(jnp.int32))
             unres2 = jnp.sum(live_s.astype(jnp.int32)) - nsingle
-            k4x = k * 4
+            knext = k * (_MULTS + 1)
             # nsub == live_groups entering <=> no live group split.
-            done = (unres2 == 0) | (nsub == live_groups) | (k4x >= n)
-            return (k4x, rank2, p_s, c_head2, nsub - nsingle, done)
+            done = (unres2 == 0) | (nsub == live_groups) | (knext >= n)
+            return (knext, rank2, p_s, c_head2, nsub - nsingle, done)
 
         return tier_body
 
@@ -290,7 +329,12 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # (identical) rotations carry identical preceding bytes, so unstable
     # tie order is harmless; ptr may point at any row of rotation 0's tie
     # group (all rows are identical strings).
-    prev_byte = cyc_shift(b, n - 1)
+    # prev_byte[i] = b[(i + n - 1) mod n] = dbl[i + n - 1] (coverage >= 2n-1).
+    prev_byte = jnp.where(
+        valid,
+        jax.lax.dynamic_slice(dbl, (jnp.maximum(n - 1, 0),), (N,)),
+        _PAD_RANK,
+    )
     _, bwt_sorted = _sort((rank, prev_byte), num_keys=1)
     bwt = bwt_sorted.astype(jnp.uint8)
     ptr = jnp.sum(((rank < rank[0]) & valid).astype(jnp.int32))
@@ -301,21 +345,27 @@ def _live(c_head: jax.Array) -> jax.Array:
     return jnp.sum((c_head < _PAD_RANK).astype(jnp.int32))
 
 
-_QMAX = 15  # chain steps detected; must be <= the rank coverage k at entry
+_QMAX = 8   # chain steps detected; must be <= the rank coverage k at entry.
+# 8 (not the full 15 the coverage allows) halves the position-space
+# precompute; real periodic data — RLE1-coded runs (period 5), short
+# repeats — has fundamental period well under 8, and longer periods just
+# fall back to the doubling rounds.
 
 
-def _resolve_chains(r_s, p_s, rank, n, k, idx, valid):
+def _resolve_chains(r_s, p_s, cmp_s, n, idx, valid):
     """Resolve arithmetic tie chains (tandem repeats) in closed form.
 
     Operates in sorted space: ``r_s`` positional ranks per SA slot, ``p_s``
     positions (ascending within tie groups — round 1 sorts with the
-    position as a final key), ``rank`` position-space ranks.  Only groups
-    whose members form one arithmetic progression with step q in [1, QMAX]
+    position as a final key), ``cmp_s`` the packed per-period prefix15
+    relations (bit 2(q-1): prefix15(p+q) > prefix15(p); bit 2(q-1)+1:
+    equal) computed gather-free in position space.  Only groups whose
+    members form one arithmetic progression with step q in [1, QMAX]
     (QMAX <= k, so equal k-prefixes prove data periodicity over the chain
-    span) are touched.  Returns (new position-space rank, #lanes resolved,
-    #groups resolved, per-slot applied mask).
+    span) are touched.  Returns (position-space rank — this sort also
+    realizes round 1's rank inversion for untouched lanes — plus #lanes
+    resolved, #groups resolved, per-slot applied mask).
     """
-    N = r_s.shape[0]
     slot_valid = idx < n
 
     same = jnp.concatenate(
@@ -337,16 +387,18 @@ def _resolve_chains(r_s, p_s, rank, n, k, idx, valid):
         jnp.concatenate([same[1:], jnp.zeros(1, bool)])
     )  # group size >= 2 (per slot)
 
-    # Evaluate the one cross-group comparison at each group-end slot:
-    # succ = position + q; its current rank orders the whole chain.
-    ext_rank = jnp.concatenate([rank, jnp.full(1, _PAD_RANK, jnp.int32)])
+    # The one cross-group comparison at each group-end slot: rot(p_end + q)
+    # vs rot(p_end) to prefix15 depth, read from the precomputed bits.
+    # Equal prefixes (the fully-cyclic wrap case: p_end + q mod n lands
+    # back inside the group) mean identical rotations — a true tie that
+    # must NOT be ordered.
     q = step  # at an end slot of an ok chain, the last pair's step == q
-    succ = jnp.where(n > 0, (p_s + q) % jnp.maximum(n, 1), 0)
     end_cand = is_end & multi & ok_so_far
-    r_b = ext_rank[jnp.where(end_cand, succ, N)]
-    r_g = r_s
-    apply_g = end_cand & (r_b != r_g) & (r_b < _PAD_RANK)
-    asc = r_b > r_g
+    qsh = 2 * jnp.maximum(q - 1, 0)
+    gt_b = ((cmp_s >> qsh) & 1).astype(bool)
+    eq_b = ((cmp_s >> (qsh + 1)) & 1).astype(bool)
+    apply_g = end_cand & ~eq_b
+    asc = gt_b
 
     # Broadcast (end slot, apply, asc) back over each group: nearest end
     # slot at >= own slot via a reversed cummin of packed (slot, flags).
@@ -362,7 +414,7 @@ def _resolve_chains(r_s, p_s, rank, n, k, idx, valid):
 
     j = idx - gstart
     m = end_slot - gstart + 1
-    chain_rank = jnp.where(asc_lane, r_g + j, r_g + (m - 1 - j))
+    chain_rank = jnp.where(asc_lane, r_s + j, r_s + (m - 1 - j))
     new_r_s = jnp.where(apply_lane, chain_rank, r_s)
 
     _, new_rank = _sort((p_s, new_r_s), num_keys=1)

@@ -8,11 +8,16 @@ Device formulation: treat EOB as a sentinel "nonzero" appended at position
 n.  For every nonzero, the preceding zero-run length falls out of an
 exclusive cummax of nonzero positions; digit counts are exact integer
 bit-lengths (comparison ladder, no float log); output offsets are one
-exclusive cumsum.  The emit->output expansion is ONE scatter-max of source
-positions (targets are monotonic, so a cummax forward-fills coverage) plus
-ONE gather of a packed (zrun+1 | value<<21) field — scatters and gathers
-are the priciest primitives on this hardware, so the stage runs exactly
-one of each.
+exclusive cumsum.
+
+The emit->output expansion is a *merge*: emit entries (keyed by their
+output offset) and output slots (keyed by their index) are interleaved by
+one 2-operand sort, the covering entry's fields are forward-filled with
+cheap cummaxes (the offset-prefixed packing makes "latest entry" == "max"),
+and a second 2-operand sort compacts the slot lanes back to a dense
+stream.  On this hardware two ~2M-lane sorts + three cummaxes are ~2.5x
+cheaper than the scatter + full-width gather they replace (sorts are the
+one cheap irregular primitive; see tools/microbench.py).
 """
 
 from __future__ import annotations
@@ -21,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 _MAX_DIGITS = 20  # zero runs < 2^20 (block <= 900_000)
+_BIG = jnp.int32(1 << 26)  # > any merge key (2*(M+1) < 2^22)
 
 
 def rle2_device(
@@ -70,39 +76,54 @@ def rle2_device(
     off = ends - width                                  # exclusive
     out_len = ends[-1]
 
-    # Expansion: scatter each emit entry's *source position* at its output
-    # start (targets are monotonic in entry order, so a plain cummax
-    # forward-fills every covered slot), then ONE gather of the packed
-    # per-entry fields.  zp1 <= 2^20 (21 bits) and val <= 258 (9 bits)
-    # pack into 30 bits.
+    # --- merge entries with output slots -----------------------------------
+    # Entry lane (emit only): key 2*off (even, sorts before the slot it
+    # starts covering); slot lane j: key 2*j + 1.  zp1 (21 bits) and the
+    # symbol value (9 bits) ride as one packed payload operand.
     val = jnp.where(
         is_eob, eob, jnp.concatenate([mtf_idx, jnp.zeros(1, jnp.int32)]) + 1
     )
     packed = zp1 | (val << 21)
-    tgt = jnp.where(emit, off, M)
-    chain = (
-        jnp.full(M + 1, -1, jnp.int32)
-        .at[tgt]
-        .max(jnp.where(emit, pos, -1))[:M]
-    )
-    src = jax.lax.cummax(chain, axis=0)                 # covering entry pos
-    src_c = jnp.maximum(src, 0)
-    pk = packed[src_c]
-    zp1_f = pk & 0x1FFFFF
-    val_f = pk >> 21
+    e_key = jnp.where(emit, off * 2, _BIG)
+    keys = jnp.concatenate([e_key, pos * 2 + 1])
+    pays = jnp.concatenate([packed, jnp.zeros(M, jnp.int32)])
+    k_s, p_s = jax.lax.sort((keys, pays), num_keys=1, is_stable=False)
 
-    # Entry start slots: where the covering source changes (or slot 0).
-    src_prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), src[:-1]])
-    is_start = src != src_prev
-    off_f = jax.lax.cummax(jnp.where(is_start, pos, -1), axis=0)
-    d = pos - off_f
-    digit = (zp1_f >> jnp.clip(d, 0, _MAX_DIGITS)) & 1
+    # Forward-fill the covering entry's (off, zp1, val): prefixing each
+    # 11-bit payload piece with the entry offset (strictly increasing over
+    # emit entries) turns "latest entry so far" into a running max.
+    is_entry = (k_s & 1) == 0
+    off_e = jnp.where(is_entry, k_s >> 1, 0)
+    fA = jnp.where(is_entry, (off_e << 11) | (p_s & 0x7FF), -1)
+    fB = jnp.where(is_entry, (off_e << 11) | ((p_s >> 11) & 0x3FF), -1)
+    fC = jnp.where(is_entry, (off_e << 11) | ((p_s >> 21) & 0x1FF), -1)
+    FA = jax.lax.cummax(fA, axis=0)
+    FB = jax.lax.cummax(fB, axis=0)
+    FC = jax.lax.cummax(fC, axis=0)
+    off_f = FA >> 11
+    zp1_f = (FA & 0x7FF) | ((FB & 0x3FF) << 11)
+    val_f = FC & 0x1FF
+
+    j_slot = k_s >> 1
+    d = jnp.clip(j_slot - off_f, 0, _MAX_DIGITS)
+    digit = (zp1_f >> d) & 1
+    # Compact slot lanes back to a dense stream; (off, val, digit) travel
+    # as one packed payload so symbol-slot detection can run densely.
+    ext_p = (off_f << 10) | (val_f << 1) | digit
+    s_key = jnp.where(is_entry | (k_s >= _BIG), _BIG, j_slot)
+    d_key, d_pay = jax.lax.sort((s_key, ext_p), num_keys=1, is_stable=False)
+    d_pay = d_pay[:M]
+
+    off_d = d_pay >> 10
+    digit_d = d_pay & 1
+    val_d = (d_pay >> 1) & 0x1FF
     # The symbol occupies an entry's last slot: the next slot starts a new
     # entry or the stream ends.
-    is_sym_slot = jnp.concatenate(
-        [is_start[1:], jnp.ones(1, bool)]
-    ) | (pos == out_len - 1)
-    syms = jnp.where(is_sym_slot, val_f, digit)
+    nxt_new = jnp.concatenate(
+        [off_d[1:] != off_d[:-1], jnp.ones(1, bool)]
+    )
+    is_sym_slot = nxt_new | (pos == out_len - 1)
+    syms = jnp.where(is_sym_slot, val_d, digit_d)
     live = pos < out_len
     syms = jnp.where(live, syms, 258)
 

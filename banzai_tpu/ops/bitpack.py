@@ -78,25 +78,35 @@ def pack_entries(
         v << (((64 - b - lens) & 31).astype(jnp.uint32)),
     )
     # Word assembly without scatters: contributions to a word are a
-    # contiguous run of entries (w is sorted), and OR == ADD (disjoint
-    # bits), so each word is a difference of wrapping prefix sums taken at
-    # word-boundary entry indices.  boundary[x] = last entry index whose
-    # word <= x (one scatter-max + cummax), then two small gathers.
-    s_hi = jnp.cumsum(jax.lax.bitcast_convert_type(hi, jnp.int32))
-    s_lo = jnp.cumsum(jax.lax.bitcast_convert_type(lo, jnp.int32))
-    # int32 addition wraps, and OR == ADD for disjoint bit fields, so the
-    # mod-2^32 prefix differences below are exact word values.
+    # contiguous run of entries (w is sorted), and OR == ADD for disjoint
+    # bit fields, so word x is a difference of wrapping prefix sums over
+    # "entries with w <= x".  Those prefixes fall out of a *merge*: one
+    # sort interleaves entries (key 2w) with word queries (key 2x+1), a
+    # cumsum over the merged hi/lo lands each query lane exactly on its
+    # prefix, and a second sort compacts the query lanes back out.  Two
+    # 3-op sorts + two cumsums beat the scatter-max + cummax + gathers
+    # they replace by ~3ms/block on this chip (see tools/microbench.py).
     E = lens.shape[0]
-    last = (
-        jnp.full(nwords + 1, -1, jnp.int32)
-        .at[jnp.minimum(w, nwords)]
-        .max(jnp.arange(E, dtype=jnp.int32))
+    Q = nwords + 1
+    e_key = 2 * jnp.minimum(w, nwords)
+    q_key = 2 * jnp.arange(Q, dtype=jnp.int32) + 1
+    keys = jnp.concatenate([e_key, q_key])
+    his = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(hi, jnp.int32), jnp.zeros(Q, jnp.int32)]
     )
-    last = jax.lax.cummax(last, axis=0)                     # [nwords+1]
-    s_hi_e = jnp.concatenate([jnp.zeros(1, jnp.int32), s_hi])
-    s_lo_e = jnp.concatenate([jnp.zeros(1, jnp.int32), s_lo])
-    g_hi = s_hi_e[last + 1]                                 # prefix at last
-    g_lo = s_lo_e[last + 1]
+    los = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(lo, jnp.int32), jnp.zeros(Q, jnp.int32)]
+    )
+    k_s, hi_s, lo_s = jax.lax.sort((keys, his, los), num_keys=1,
+                                   is_stable=False)
+    s_hi = jnp.cumsum(hi_s)     # int32 wrap == mod-2^32, exact for OR==ADD
+    s_lo = jnp.cumsum(lo_s)
+    is_q = (k_s & 1) == 1
+    qx = jnp.where(is_q, k_s >> 1, jnp.int32(2 * nwords + 4))
+    _, g_hi, g_lo = jax.lax.sort((qx, s_hi, s_lo), num_keys=1,
+                                 is_stable=False)
+    g_hi = g_hi[:Q]
+    g_lo = g_lo[:Q]
     g_hi_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), g_hi[:-1]])
     g_lo_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), g_lo[:-1]])
     g_lo_prev2 = jnp.concatenate([jnp.zeros(2, jnp.int32), g_lo[:-2]])
@@ -172,16 +182,39 @@ def block_payload_entries(
     ).reshape(-1)
 
     # -- payload codewords --------------------------------------------------
-    # One gather of a packed (word << 5 | len) table halves the dominant
-    # random-access cost (gathers are the priciest primitive here).
+    # Per-segment table rows by a T-way integer select, then the per-symbol
+    # lookup as a segment-blocked one-hot compare + int32 sum-reduce — XLA
+    # fuses the compare into the reduction, so no full-width gather runs.
     words_tab = canonical_words(lens_tab, num_syms)         # [T, S]
     packed_tab = (words_tab << 5) | lens_tab                # word<2^17,len<32
     pos = jnp.arange(M, dtype=jnp.int32)
     live = pos < out_len
     sym_c = jnp.where(live, jnp.minimum(syms, S - 1), 0)
-    # Static 50x repeat instead of a full-width gather (nseg*50 >= M).
-    sel_per_sym = jnp.repeat(selectors, SEGMENT_WIDTH)[:M]
-    packed = packed_tab.reshape(-1)[sel_per_sym * S + sym_c]
+    # T-way integer select (NOT a float one-hot matmul: XLA would route
+    # that onto the MXU, whose default-precision bf16 passes cannot carry
+    # 22-bit packed codeword values exactly — corrupts streams on TPU).
+    tab_seg = jnp.zeros((nseg, S), jnp.int32)                # [nseg, S]
+    for t in range(T):
+        tab_seg = jnp.where(
+            selectors[:, None] == t, packed_tab[t][None, :], tab_seg
+        )
+    L = nseg * SEGMENT_WIDTH
+    sym_pad = sym_c[:L] if M >= L else jnp.concatenate(
+        [sym_c, jnp.zeros(L - M, jnp.int32)]
+    )
+    sym_p = sym_pad.reshape(nseg, SEGMENT_WIDTH)
+    sym_ids_s = jnp.arange(S, dtype=jnp.int32)
+    packed = jnp.sum(
+        jnp.where(
+            sym_p[:, :, None] == sym_ids_s[None, None, :],
+            tab_seg[:, None, :],
+            0,
+        ),
+        axis=2,
+    ).reshape(-1)
+    packed = packed[:M] if L >= M else jnp.concatenate(
+        [packed, jnp.zeros(M - L, jnp.int32)]
+    )
     p_vals = (packed >> 5).astype(jnp.uint32)
     p_lens = jnp.where(live, packed & 31, 0)
 

@@ -75,15 +75,21 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # covered prefix — ~20 cheap dynamic-update-slices — so that every
     # byte(off) below is a *static* slice that fuses into its consumers
     # (the old per-offset dynamic-slice pairs were ~230 separate thunks).
-    dbl = jax.lax.dynamic_update_slice(jnp.zeros(2 * N, jnp.int32), b, (0,))
-    cov = jnp.maximum(n, 1)
+    dbl0 = jax.lax.dynamic_update_slice(jnp.zeros(2 * N, jnp.int32), b, (0,))
     need = n + _QMAX + 15
-    for _ in range(20):  # cov = n * 2^t >= need for any n >= 1
+
+    def _extend(st):
+        dbl, cov = st
         ext = jax.lax.dynamic_update_slice(
             dbl, jax.lax.slice(dbl, (0,), (N,)), (cov,)
         )
-        dbl = jnp.where(cov < need, ext, dbl)
-        cov = cov * 2
+        return ext, cov * 2
+
+    # cov = n * 2^t >= need: one iteration for any n > QMAX + 15, ~20 only
+    # for tiny blocks.
+    dbl, _ = jax.lax.while_loop(
+        lambda st: st[1] < need, _extend, (dbl0, jnp.maximum(n, 1))
+    )
 
     def byte(off: int) -> jax.Array:
         return jax.lax.slice(dbl, (off,), (off + N,))

@@ -49,11 +49,16 @@ def mtf_indices_device(
     syms = jnp.where(valid, bwt.astype(jnp.int32), -1)
 
     # Last occurrence of each symbol inside each chunk (global position),
-    # via scatter-max into [C, S+1] with a trash column for padding.
-    cid = pos // chunk
-    sym_t = jnp.where(valid, syms, _S)
-    occ = jnp.full((C, _S + 1), -1, jnp.int32).at[cid, sym_t].max(pos)
-    occ = occ[:, :_S]
+    # as a one-hot compare + max-reduce over [C, chunk, S]: XLA fuses the
+    # compare into the reduction (no scatter — scatters cost ~8ms/block on
+    # this chip).
+    sym_t = jnp.where(valid, syms, -1).reshape(C, chunk)
+    pos_c = pos.reshape(C, chunk)
+    sym_col = jnp.arange(_S, dtype=jnp.int32)[None, None, :]
+    occ = jnp.max(
+        jnp.where(sym_t[:, :, None] == sym_col, pos_c[:, :, None], -1),
+        axis=1,
+    )
     # Exclusive cummax across chunks -> last occurrence before chunk start.
     before = jnp.concatenate(
         [

@@ -52,9 +52,15 @@ def _padded_len(level: int) -> int:
 
 
 def _nwords(N: int, nseg: int) -> int:
-    # Payload codewords are <= CODEWORD_MAX_LEN = 17 bits each; selectors
-    # <= 6 bits; each table symbol's delta group <= 34 bits.
-    worst = 18 + 6 * nseg + 6 * (5 + S * 34) + 17 * (N + 1)
+    # The plan picks the min-total-bits candidate, and the single-optimal-
+    # table candidate costs <= (H+1) bits/symbol <= log2(258)+1 = 9.02 in
+    # payload plus 2 table defs (<= 5 + 34*S bits each) and 1-bit
+    # selectors — so every winning plan fits 9.25 bits/symbol + aux with
+    # margin.  (The naive 17-bit/symbol worst case is 1.8x larger and
+    # would double the sort/fetch widths downstream.)  drain_one re-checks
+    # nbits against this capacity and host-encodes any overflowing block,
+    # so the bound is belt-and-braces safe.
+    worst = 18 + 6 * nseg + 2 * (5 + S * 34) + (37 * (N + 1)) // 4
     return (worst + 31) // 32 + 2
 
 
@@ -160,6 +166,12 @@ def compress_blocks_payloads(
                 payloads.append(_host_payload(blk))
             return
         for i, blk in enumerate(group):
+            if int(nbits[i]) > nwords * 32:
+                # Entropy payload exceeded the 9.25-bit/symbol capacity
+                # bound (theoretically unreachable — see _nwords); the
+                # device words are truncated, so re-encode on host.
+                payloads.append(_host_payload(blk))
+                continue
             payloads.append(
                 BlockPayload(
                     crc=blk.crc,

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Trace the fused batch-encode jit on real bench blocks and print a
+self-time-per-source-line breakdown (XProf source attribution).
+
+The axon trace nests events (while-loop bodies inherit the loop's line),
+so exclusive time is recovered with an interval-stack sweep.  Usage:
+
+    python tools/trace_fused.py [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import re
+import shutil
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def run_trace(batch: int) -> str:
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_corpus
+    from banzai_tpu.constants import SEGMENT_WIDTH
+    from banzai_tpu.pipeline import (
+        _encode_blocks, _nwords, _padded_len, _use_pallas,
+    )
+    from banzai_tpu.rle1 import iter_blocks
+
+    N = _padded_len(9)
+    nseg = (N + 1 + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
+    nwords = _nwords(N, nseg)
+    corpus = build_corpus()
+    blocks = []
+    for blk in iter_blocks(corpus, 9):
+        blocks.append(blk)
+        if len(blocks) == batch:
+            break
+    arr = np.zeros((batch, N), np.uint8)
+    ns = np.ones(batch, np.int32)
+    pres = np.zeros((batch, 256), bool)
+    for i, blk in enumerate(blocks):
+        arr[i, : len(blk.output)] = blk.output
+        ns[i] = len(blk.output)
+        pres[i] = np.bincount(blk.output, minlength=256) > 0
+    a, nn, pp = jnp.asarray(arr), jnp.asarray(ns), jnp.asarray(pres)
+
+    def call():
+        out = _encode_blocks(
+            a, nn, pp, nseg=nseg, nwords=nwords, use_pallas=_use_pallas()
+        )
+        np.asarray(out[1])
+
+    call()  # warm
+    import time
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        call()
+    wall = (time.perf_counter() - t0) / 3 * 1000
+    print(f"fused wall: {wall:.1f} ms/batch = {wall / batch:.2f} ms/block")
+    shutil.rmtree("/tmp/jaxtrace", ignore_errors=True)
+    with jax.profiler.trace("/tmp/jaxtrace"):
+        call()
+    return glob.glob("/tmp/jaxtrace/plugins/profile/*/vm.trace.json.gz")[0]
+
+
+def analyze(path: str, batch: int, top: int = 30) -> None:
+    ev = json.load(gzip.open(path))["traceEvents"]
+    names = {}
+    for e in ev:
+        if e.get("ph") == "M":
+            key = (e.get("pid"), e.get("tid"), e["name"])
+            names[key] = (e.get("args") or {}).get("name")
+    ops = []
+    for e in ev:
+        if e.get("ph") != "X":
+            continue
+        tn = names.get((e.get("pid"), e.get("tid"), "thread_name"))
+        if tn != "XLA Ops":
+            continue
+        ops.append((e["ts"], e["ts"] + e.get("dur", 0), e))
+    ops.sort(key=lambda x: (x[0], -(x[1] - x[0])))
+    self_time: collections.Counter = collections.Counter()
+    cnt: collections.Counter = collections.Counter()
+    stack: list = []
+    for st, en, e in ops:
+        while stack and stack[-1][1] <= st:
+            stack.pop()
+        args = e.get("args") or {}
+        src = args.get("source") or e.get("name", "")
+        if stack:
+            pe = stack[-1][2]
+            pargs = pe.get("args") or {}
+            psrc = pargs.get("source") or pe.get("name", "")
+            self_time[psrc] -= en - st
+        self_time[src] += en - st
+        cnt[src] += 1
+        stack.append((st, en, e))
+    agg: collections.Counter = collections.Counter()
+    c2: collections.Counter = collections.Counter()
+    for k, v in self_time.items():
+        m = re.search(r"banzai_tpu/((?:ops/)?\w+\.py:\d+)", k)
+        key = m.group(1) if m else "other:" + k.split("/")[-1][:40]
+        agg[key] += v
+        c2[key] += cnt[k]
+    tot = sum(agg.values())
+    print(f"total self: {tot / batch / 1000:.1f} ms/block")
+    for k, v in agg.most_common(top):
+        print(f"{v / batch / 1000:7.2f} ms/blk x{c2[k]:5d}  {k}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--analyze-only", default=None)
+    args = ap.parse_args()
+    p = args.analyze_only or run_trace(args.batch)
+    analyze(p, args.batch)

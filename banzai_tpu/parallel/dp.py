@@ -29,9 +29,14 @@ import jax.numpy as jnp
 
 
 def block_mesh(devices=None) -> Mesh:
-    """1-D mesh over all (or the given) devices."""
+    """1-D mesh over the host's local (or the given) devices.
+
+    Local, not global: in a multi-process job each host encodes its own
+    input span independently (parallel/multihost.py); cross-host traffic
+    happens only at the final payload gather, never inside the mesh.
+    """
     if devices is None:
-        devices = jax.devices()
+        devices = jax.local_devices()
     return Mesh(np.asarray(devices), ("blocks",))
 
 

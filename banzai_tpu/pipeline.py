@@ -133,7 +133,7 @@ def compress_blocks_payloads(
     nseg = (N + 1 + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
     nwords = _nwords(N, nseg)
 
-    ndev = len(jax.devices())
+    ndev = len(jax.local_devices())
     if sharded is None:
         sharded = ndev > 1
     mesh = block_mesh() if sharded else None

@@ -190,9 +190,15 @@ def plan_entropy(
     hist = segment_histogram(syms, num_syms)
     candidates: list[EntropyPlan] = []
 
-    # Degenerate single-table candidate: both tables identical, selectors 0.
+    # Degenerate single-table candidate: selectors never leave table 0, so
+    # the mandatory second table (format minimum num_tables == 2,
+    # lib/huffman.rs:106-112) is a constant all-15s dummy — the cheapest
+    # possible delta coding (5 + num_syms bits).  Duplicating the optimal
+    # table here would pay its delta cost twice and can lose to banzai's
+    # collapsed 2-table plans (found by fuzz iter 201, seed 0).
     single = pm_code_lengths(freqs)
-    stables = np.stack([single, single])
+    dummy = np.full_like(single, 15)
+    stables = np.stack([single, dummy])
     ssel = np.zeros(len(hist), dtype=np.int64)
     candidates.append(
         EntropyPlan(

@@ -231,13 +231,20 @@ def plan_entropy_device(
     bits_multi = sel_bits + delta_bits + payload                  # [5]
 
     # --- single-table candidate -------------------------------------------
+    # Selectors never leave table 0; the mandatory second table is a
+    # constant all-15s dummy (cheapest delta coding: 5 + num_syms bits),
+    # matching huffman_host.plan_entropy bit-for-bit.
     single = pm_lengths(freqs.astype(jnp.int32), num_syms)        # [S]
-    stables = jnp.broadcast_to(single, (T, S)).astype(jnp.int32)
+    sym_ids2 = jnp.arange(S, dtype=jnp.int32)
+    dummy = jnp.where(sym_ids2 < num_syms, 15, 0).astype(jnp.int32)
+    stables = jnp.concatenate(
+        [single[None], jnp.broadcast_to(dummy, (T - 1, S))]
+    ).astype(jnp.int32)
     s_sel = jnp.zeros((hist.shape[0],), jnp.int32)
     s_idx, s_selbits = selector_mtf(s_sel, nseg_used)
     sd = jnp.abs(single[1:] - single[:-1])
     sd = jnp.where(jnp.arange(1, S, dtype=jnp.int32) < num_syms, sd, 0)
-    s_delta = 2 * (5 + num_syms + 2 * jnp.sum(sd))
+    s_delta = (5 + num_syms + 2 * jnp.sum(sd)) + (5 + num_syms)
     s_payload = jnp.sum(hist * single[None, :].astype(jnp.float32))
     bits_single = s_selbits + s_delta + s_payload.astype(jnp.int32)
 

@@ -24,33 +24,66 @@ _S = 256
 _TC = 1024        # chunk columns per grid tile
 
 
-def _kernel(syms_ref, state0_ref, out_ref, state):
-    K = syms_ref.shape[0]
-    state[:] = state0_ref[:]
-    row = jax.lax.broadcasted_iota(jnp.int32, (_S, state.shape[1]), 0)
+def _make_kernel(debug_checks: bool):
+    """Build the MTF kernel; with ``debug_checks`` it also emits a
+    per-column error bitmask (SURVEY §5 sanitizer analog — the in-kernel
+    invariant checks run in tests via ``mtf_shuffle_pallas(...,
+    debug_checks=True)`` and are absent from the bench's compiled kernel):
 
-    def step(t, _):
-        s = syms_ref[pl.ds(t, 1), :]                    # [1, TC] int32
-        hit = state[:] == s                             # -1 pad never hits
-        idx = jnp.max(jnp.where(hit, row, -1), axis=0, keepdims=True)
-        out_ref[pl.ds(t, 1), :] = idx
-        rolled = pltpu.roll(state[:], shift=1, axis=0)
-        insert = jnp.where(row == 0, s, rolled)
-        keep = (row > idx) | (s < 0)
-        state[:] = jnp.where(keep, state[:], insert)
-        return 0
+      bit 0 — a valid symbol missed every state slot (state corrupted);
+      bit 1 — a valid symbol hit more than one slot (state not a
+              permutation of byte values).
+    """
 
-    jax.lax.fori_loop(0, K, step, 0)
+    def kernel(syms_ref, state0_ref, out_ref, *rest):
+        if debug_checks:
+            err_ref, state = rest
+            err_ref[:] = jnp.zeros_like(err_ref)
+        else:
+            (state,) = rest
+        K = syms_ref.shape[0]
+        state[:] = state0_ref[:]
+        row = jax.lax.broadcasted_iota(jnp.int32, (_S, state.shape[1]), 0)
+
+        def step(t, _):
+            s = syms_ref[pl.ds(t, 1), :]                # [1, TC] int32
+            hit = state[:] == s                         # -1 pad never hits
+            idx = jnp.max(jnp.where(hit, row, -1), axis=0, keepdims=True)
+            out_ref[pl.ds(t, 1), :] = idx
+            if debug_checks:
+                valid_s = s >= 0
+                miss = valid_s & (idx < 0)
+                nhit = jnp.sum(hit.astype(jnp.int32), axis=0, keepdims=True)
+                dup = valid_s & (nhit > 1)
+                err_ref[:] = (
+                    err_ref[:] | miss.astype(jnp.int32)
+                    | (dup.astype(jnp.int32) << 1)
+                )
+            rolled = pltpu.roll(state[:], shift=1, axis=0)
+            insert = jnp.where(row == 0, s, rolled)
+            keep = (row > idx) | (s < 0)
+            state[:] = jnp.where(keep, state[:], insert)
+            return 0
+
+        jax.lax.fori_loop(0, K, step, 0)
+
+    return kernel
 
 
 def mtf_shuffle_pallas(
-    syms_p: jax.Array, state0: jax.Array, interpret: bool = False
+    syms_p: jax.Array,
+    state0: jax.Array,
+    interpret: bool = False,
+    debug_checks: bool = False,
 ) -> jax.Array:
     """Run the MTF shuffle: syms_p int32 [C, K] (pad -1), state0 int32
     [C, 256] byte values.  Returns int32 [C, K] MTF indices.
 
     Columns are padded to the grid tile; padded columns carry -1 symbols
-    (inert).
+    (inert).  ``debug_checks`` compiles the in-kernel invariant checks in
+    (see _make_kernel) and raises on any violation; the default kernel
+    carries no check code at all.  The check readout concretizes the error
+    mask, so ``debug_checks=True`` is for eager (test) use, not under jit.
     """
     C, K = syms_p.shape
     Cp = ((C + _TC - 1) // _TC) * _TC
@@ -60,18 +93,33 @@ def mtf_shuffle_pallas(
     state_t = jax.lax.dynamic_update_slice(
         state_t, state0.astype(jnp.int32).T, (0, 0)
     )
-    out = pl.pallas_call(
-        _kernel,
+    tile = pl.BlockSpec((K, _TC), lambda i: (0, i), memory_space=pltpu.VMEM)
+    err_spec = pl.BlockSpec(
+        (1, _TC), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    out_specs = [tile, err_spec] if debug_checks else tile
+    out_shape = jax.ShapeDtypeStruct((K, Cp), jnp.int32)
+    if debug_checks:
+        out_shape = [out_shape, jax.ShapeDtypeStruct((1, Cp), jnp.int32)]
+    res = pl.pallas_call(
+        _make_kernel(debug_checks),
         grid=(Cp // _TC,),
         in_specs=[
-            pl.BlockSpec((K, _TC), lambda i: (0, i), memory_space=pltpu.VMEM),
+            tile,
             pl.BlockSpec((_S, _TC), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (K, _TC), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((K, Cp), jnp.int32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((_S, _TC), jnp.int32)],
         interpret=interpret,
     )(syms_t, state_t)
-    return out[:, :C].T
+    if debug_checks:
+        out, err = res
+        bad = int(jnp.max(jnp.abs(err[:, :C]))) if C else 0
+        if bad:
+            raise AssertionError(
+                f"MTF kernel invariant violated (error bits {bad:#x}): "
+                "recency state is not a byte permutation"
+            )
+        return out[:, :C].T
+    return res[:, :C].T

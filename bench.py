@@ -72,12 +72,34 @@ def main() -> None:
     encode_s = time.time() - t0
     mbps = mb / encode_s
 
-    # Correctness gates.
+    # Correctness gates: bit-exact decode, and the north-star size contract
+    # (output <= the quirk-exact banzai model) on three 1MB windows
+    # covering the corpus's text, binary-walk, and runs/periodic regions
+    # (the full-corpus model run would cost ~80s of pure-Python time; the
+    # level 1-9 sweep in tests/test_size_parity.py is the exhaustive gate).
     d = subprocess.run(["bzip2", "-d"], input=out, capture_output=True)
     assert d.returncode == 0 and d.stdout == corpus, "round-trip failed"
-    assert len(out) <= len(p.stdout) * 1.03, (
-        f"size {len(out)} vs bzip2 {len(p.stdout)}"
-    )
+    from banzai_tpu.oracle import banzai_compress
+
+    n = len(corpus)
+    for lo, hi in [(0, 10**6), (n - 2 * 10**6, n - 10**6), (n - 10**6, n)]:
+        window = corpus[lo:hi]
+        ours_w = compress(window, level)
+        banzai_w = banzai_compress(window, level)
+        assert len(ours_w) <= len(banzai_w), (
+            f"banzai size gate failed on [{lo}:{hi}]: "
+            f"{len(ours_w)} > {len(banzai_w)}"
+        )
+
+    # Per-stage device breakdown (self-time from an XProf trace of the
+    # fused batch jit) so regressions stay attributable round over round.
+    stages = {}
+    try:
+        from tools.trace_fused import run_trace, stage_breakdown
+
+        stages = stage_breakdown(run_trace(8, quiet=True), 8)
+    except Exception as e:  # tracing must never fail the bench
+        stages = {"error": str(e)[:120]}
 
     print(
         json.dumps(
@@ -91,6 +113,7 @@ def main() -> None:
                     "our_bytes": len(out),
                     "bzip2_bytes": len(p.stdout),
                     "corpus_bytes": len(corpus),
+                    "stage_ms_per_block": stages,
                 },
             }
         )

@@ -50,7 +50,10 @@ def main() -> int:
     ap.add_argument("iterations", nargs="?", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="numpy")
-    ap.add_argument("--level", type=int, default=1)
+    ap.add_argument(
+        "--level", type=int, default=1,
+        help="compression level 1-9, or 0 to draw a random level per case",
+    )
     args = ap.parse_args()
 
     from banzai_tpu import compress
@@ -59,7 +62,8 @@ def main() -> int:
     rng = random.Random(args.seed)
     for i in range(args.iterations):
         data = gen_case(rng)
-        out = compress(data, args.level, backend=args.backend)
+        level = args.level or rng.randrange(1, 10)
+        out = compress(data, level, backend=args.backend)
         p = subprocess.run(["bzip2", "-d"], input=out, capture_output=True)
         if p.returncode != 0 or p.stdout != data:
             print(f"FAIL roundtrip @ iter {i}: {len(data)} bytes "
@@ -67,7 +71,7 @@ def main() -> int:
             with open("fuzz_fail.bin", "wb") as f:
                 f.write(data)
             return 1
-        ref = banzai_compress(data, args.level)
+        ref = banzai_compress(data, level)
         if len(out) > len(ref):
             print(f"FAIL size @ iter {i}: ours {len(out)} > banzai "
                   f"{len(ref)} ({len(data)} bytes input)", file=sys.stderr)

@@ -39,6 +39,35 @@ def _battery() -> dict[str, bytes]:
     }
 
 
+# Fuzz regression (seed 0, iter 201, level 3): banzai's quirky 2-table
+# refinement collapses to a single used table whose unused twin is cheap to
+# delta-code; our degenerate candidate must use a constant dummy table to
+# stay <= banzai (huffman_host.plan_entropy).
+_FUZZ_201 = (
+    "eNodk1kShDAIRAn7EsL9bzs4/miVSrpfNy2kHAKvRQXjWKmEOtY7dNSyWqsm3zjRm5iDoBe0"
+    "wcJdCEbPsEABafER88mIEkQreAlGIgbYrALqr+YGQpgq4b1ZKdTIt/ennsBzAeum3Ih7O+hc"
+    "z/Kmlis2kOcxnpkeulBGuYLfSXxtkHHpGJdnzLM3CoAWCQLDJDSriKyccSTOs+Rodz4v+pX1"
+    "o+NR5Vd4n1SF1psJMEuNweyoy1VFw3yqWZrtdK86PaEVglo+2vUuYuSha2o7/pPeVHnXhGTN"
+    "+Is16QF7pqObLlPIFbwAB4ddDeiU1+NedtnZJUZwphZWtpi8QUnuWDda+GZNTYiVMN+Mtf4M"
+    "+MXyk0eJWAyXglmJtVtv751MnTjwvsL2s4bffdiplO0dT5/KRsLmm677pa6NNwyfnZjJzLZg"
+    "3awQr2wfOKHpKsm5ub/eEzmzuZ6JDNi3Hoeoyi4wih2OuXowj/cst9dl3lnM8SR9U9vS4WVU"
+    "a/L5vnmCaRcB1c8ROUvGVXr9bQ/ya6PqTrpJsNKP5rWtpNxhjQbQRNcH6CWnhhSfXEOAzsdU"
+    "jfC+nlkvqPvYcDHZ7fW5lZz37l1qgOjZc/eiAAcMWfbrrbdPel5rDAPSd8AeuVOm3jrBDP/w"
+    "9HLeJq3mu5GXfRqaUBBSxLeQyds/pec7mO7mS0G8pWoX2X7sqvR/03JXYXRhuoKcs520XaQA"
+    "6bcE2fck4aD7be+agIP+A/aDHYY="
+)
+
+
+def test_fuzz_201_degenerate_dummy_table(bunzip):
+    import base64
+    import zlib
+
+    data = zlib.decompress(base64.b64decode(_FUZZ_201))
+    ours = host_compress(data, 3)
+    assert bunzip(ours) == data
+    assert len(ours) <= len(banzai_compress(data, 3))
+
+
 @pytest.mark.parametrize("level", range(1, 10))
 def test_size_le_banzai_all_levels(level, bunzip):
     for name, data in _battery().items():

@@ -24,7 +24,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def run_trace(batch: int) -> str:
+def run_trace(batch: int, quiet: bool = False) -> str:
     import jax
     import jax.numpy as jnp
 
@@ -66,14 +66,32 @@ def run_trace(batch: int) -> str:
     for _ in range(3):
         call()
     wall = (time.perf_counter() - t0) / 3 * 1000
-    print(f"fused wall: {wall:.1f} ms/batch = {wall / batch:.2f} ms/block")
+    if not quiet:
+        print(
+            f"fused wall: {wall:.1f} ms/batch = {wall / batch:.2f} ms/block"
+        )
     shutil.rmtree("/tmp/jaxtrace", ignore_errors=True)
     with jax.profiler.trace("/tmp/jaxtrace"):
         call()
     return glob.glob("/tmp/jaxtrace/plugins/profile/*/vm.trace.json.gz")[0]
 
 
-def analyze(path: str, batch: int, top: int = 30) -> None:
+def stage_breakdown(path: str, batch: int, top: int = 12) -> dict:
+    """Aggregate self-time per pipeline area (ms/block) from a trace."""
+    import collections as _c
+
+    agg, _ = _self_times(path)
+    area: _c.Counter = _c.Counter()
+    for k, v in agg.items():
+        m = re.search(r"ops/(\w+)\.py", k)
+        area[m.group(1) if m else "other"] += v
+    return {
+        k: round(v / batch / 1000, 2)
+        for k, v in area.most_common(top)
+    }
+
+
+def _self_times(path: str):
     ev = json.load(gzip.open(path))["traceEvents"]
     names = {}
     for e in ev:
@@ -89,8 +107,10 @@ def analyze(path: str, batch: int, top: int = 30) -> None:
             continue
         ops.append((e["ts"], e["ts"] + e.get("dur", 0), e))
     ops.sort(key=lambda x: (x[0], -(x[1] - x[0])))
-    self_time: collections.Counter = collections.Counter()
-    cnt: collections.Counter = collections.Counter()
+    import collections as _c
+
+    self_time: _c.Counter = _c.Counter()
+    cnt: _c.Counter = _c.Counter()
     stack: list = []
     for st, en, e in ops:
         while stack and stack[-1][1] <= st:
@@ -105,13 +125,18 @@ def analyze(path: str, batch: int, top: int = 30) -> None:
         self_time[src] += en - st
         cnt[src] += 1
         stack.append((st, en, e))
-    agg: collections.Counter = collections.Counter()
-    c2: collections.Counter = collections.Counter()
+    agg: _c.Counter = _c.Counter()
+    c2: _c.Counter = _c.Counter()
     for k, v in self_time.items():
         m = re.search(r"banzai_tpu/((?:ops/)?\w+\.py:\d+)", k)
         key = m.group(1) if m else "other:" + k.split("/")[-1][:40]
         agg[key] += v
         c2[key] += cnt[k]
+    return agg, c2
+
+
+def analyze(path: str, batch: int, top: int = 30) -> None:
+    agg, c2 = _self_times(path)
     tot = sum(agg.values())
     print(f"total self: {tot / batch / 1000:.1f} ms/block")
     for k, v in agg.most_common(top):

@@ -70,23 +70,31 @@ def encode_one_block(
     static_argnames=("nseg", "nwords", "mesh", "chunk", "use_pallas"),
 )
 def encode_blocks_sharded(
-    blocks, ns, present, *, nseg: int, nwords: int, mesh: Mesh,
+    packed, *, nseg: int, nwords: int, mesh: Mesh,
     chunk: int = 512, use_pallas: bool = False,
 ):
-    """Encode a [B, N] block batch sharded over ``mesh`` (B % ndev == 0)."""
-    fn = jax.vmap(
-        partial(
-            encode_one_block, nseg=nseg, nwords=nwords, chunk=chunk,
-            use_pallas=use_pallas,
+    """Encode a packed [B, N+260] block batch sharded over ``mesh``
+    (B % ndev == 0; row layout per pipeline._unpack_rows — the single
+    upload also means each device receives only its own block rows)."""
+    from ..pipeline import _ROW_EXTRA, _unpack_rows
+
+    def shard_fn(rows):
+        blocks, ns, present = _unpack_rows(rows, rows.shape[1] - _ROW_EXTRA)
+        fn = jax.vmap(
+            partial(
+                encode_one_block, nseg=nseg, nwords=nwords, chunk=chunk,
+                use_pallas=use_pallas,
+            )
         )
-    )
+        return fn(blocks, ns, present)
+
     sharded = jax.shard_map(
-        fn,
+        shard_fn,
         mesh=mesh,
-        in_specs=(P("blocks", None), P("blocks"), P("blocks", None)),
+        in_specs=(P("blocks", None),),
         out_specs=(P("blocks", None), P("blocks"), P("blocks")),
         # The per-block pipeline is embarrassingly parallel; loop carries
         # initialized from constants trip the varying-axes checker.
         check_vma=False,
     )
-    return sharded(blocks, ns, present)
+    return sharded(packed)

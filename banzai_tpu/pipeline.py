@@ -13,12 +13,14 @@ The host does streaming RLE1 + block CRCs (rle1.split_blocks), frames the
 .bz2 container, and splices each block's device-packed payload words at its
 bit offset (SURVEY.md §7 stage table).
 
-Transfer discipline (the host<->device link can be the bottleneck): block
-payload words stay on device; the host first reads the per-block bit counts
-(tiny), then fetches only ceil(max nbits/32) words per batch through a
-bucketed jitted slice — so device->host traffic is ~the compressed size,
-not the worst-case buffer.  Batches are dispatched ahead (async) so uploads
-and compute overlap.
+Transfer discipline (the host<->device link can be the bottleneck, and on
+this relay every call costs ~50 ms of latency regardless of size): each
+batch is ONE upload — blocks, lengths and presence bitmaps packed into a
+single uint8 array, unpacked in-jit — and ONE fetch — a packed uint32
+array of (nbits, ptrs, words[:, :k]) where the word bucket k is adapted
+from previous batches and verified against the nbits riding the same
+fetch (a miss refetches wider; rare).  Batches are dispatched ahead
+(async) so uploads and compute overlap.
 """
 
 from __future__ import annotations
@@ -69,16 +71,30 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+# Packed-row layout for the single batch upload: N block bytes, 256
+# presence bytes, 3 little-endian length bytes, 1 spare.
+_ROW_EXTRA = 260
+
+
+def _unpack_rows(packed: jax.Array, N: int):
+    blocks = jax.lax.slice(packed, (0, 0), (packed.shape[0], N))
+    present = jax.lax.slice(packed, (0, N), (packed.shape[0], N + 256)) != 0
+    nb = jax.lax.slice(
+        packed, (0, N + 256), (packed.shape[0], N + 259)
+    ).astype(jnp.int32)
+    ns = nb[:, 0] | (nb[:, 1] << 8) | (nb[:, 2] << 16)
+    return blocks, ns, present
+
+
 @partial(jax.jit, static_argnames=("nseg", "nwords", "use_pallas"))
 def _encode_blocks(
-    blocks: jax.Array,       # uint8 [B, N]
-    ns: jax.Array,           # int32 [B]
-    present: jax.Array,      # bool [B, 256]
+    packed: jax.Array,       # uint8 [B, N + _ROW_EXTRA]
     *,
     nseg: int,
     nwords: int,
     use_pallas: bool = False,
 ):
+    blocks, ns, present = _unpack_rows(packed, packed.shape[1] - _ROW_EXTRA)
     fn = partial(
         encode_one_block, nseg=nseg, nwords=nwords, chunk=_CHUNK,
         use_pallas=use_pallas,
@@ -89,6 +105,19 @@ def _encode_blocks(
 @partial(jax.jit, static_argnames=("k",))
 def _fetch_words(words: jax.Array, *, k: int) -> jax.Array:
     return words[:, :k]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _pack_out(
+    words: jax.Array, nbits: jax.Array, ptrs: jax.Array, *, k: int
+) -> jax.Array:
+    """One fetchable uint32 array: [nbits(B), ptrs(B), words[:, :k] flat]."""
+    head = jnp.concatenate(
+        [nbits.astype(jnp.uint32), ptrs.astype(jnp.uint32)]
+    )
+    return jnp.concatenate(
+        [head, jax.lax.slice(words, (0, 0), (words.shape[0], k)).reshape(-1)]
+    )
 
 
 def _bucket(n: int) -> int:
@@ -140,18 +169,39 @@ def compress_blocks_payloads(
     if batch is None:
         batch = ndev * 2 if sharded else _DEFAULT_BATCH
 
+    import os
+    import time as _time
+
+    timing: dict[str, float] | None = (
+        {} if os.environ.get("BANZAI_TIME") else None
+    )
+
+    def _t(name: str, t0: float) -> None:
+        if timing is not None:
+            timing[name] = timing.get(name, 0.0) + _time.perf_counter() - t0
+
     payloads: list[BlockPayload] = []
     pending: list[tuple[list, np.ndarray, tuple]] = []
+    k_adapt = [256]          # sticky word-fetch bucket (see drain_one)
 
     def drain_one() -> None:
         group, pres_h, dev = pending.pop(0)
         try:
-            words_d, nbits_d, ptrs_d = dev
-            nbits = np.asarray(nbits_d)
-            ptrs = np.asarray(ptrs_d)
+            words_d, nbits_d, ptrs_d, packed_d = dev
+            B = nbits_d.shape[0]
+            t0 = _time.perf_counter()
+            flat = np.asarray(packed_d)
+            _t("drain_fetch", t0)
+            nbits = flat[:B].astype(np.int64)
+            ptrs = flat[B : 2 * B]
+            k = (len(flat) - 2 * B) // B
+            words = flat[2 * B :].reshape(B, k)
             kmax = max(1, int(nbits[: len(group)].max() + 31) // 32)
-            k = min(_bucket(kmax), nwords)
-            words = np.asarray(_fetch_words(words_d, k=k))
+            k_adapt[0] = max(k_adapt[0], min(_bucket(kmax), nwords))
+            if kmax > k:
+                # Bucket miss: refetch at the wider bucket (one extra
+                # round trip); k_adapt keeps later batches on one fetch.
+                words = np.asarray(_fetch_words(words_d, k=k_adapt[0]))
         except Exception as e:
             # Failure recovery: blocks are independent, so a lost device
             # batch is simply re-encoded on the host (same algorithms,
@@ -187,7 +237,9 @@ def compress_blocks_payloads(
     block_iter = iter_blocks(data, level)
     saw_full = False
     while True:
+        t0 = _time.perf_counter()
         group = list(itertools.islice(block_iter, batch))
+        _t("rle1_iter", t0)
         if not group:
             break
         B = len(group)
@@ -200,31 +252,49 @@ def compress_blocks_payloads(
         else:
             tgt = min(batch, 1 << (B - 1).bit_length())
         saw_full = saw_full or B == batch
-        pad_b = tgt - B
-        arr = np.zeros((B + pad_b, N), np.uint8)
-        ns = np.ones(B + pad_b, np.int32)
-        pres = np.zeros((B + pad_b, 256), bool)
-        pres[:, 0] = True                        # dummy blocks: single byte
+        t0 = _time.perf_counter()
+        arr = np.zeros((tgt, N + _ROW_EXTRA), np.uint8)
+        arr[:, N] = 1                            # dummy blocks: byte 0
+        arr[:, N + 256] = 1                      # present, length 1
+        pres = np.zeros((tgt, 256), bool)
+        pres[:, 0] = True
         for i, blk in enumerate(group):
-            arr[i, : len(blk.output)] = blk.output
-            ns[i] = len(blk.output)
-            pres[i] = np.bincount(blk.output, minlength=256) > 0
+            nb = len(blk.output)
+            arr[i, :nb] = blk.output
+            p = np.bincount(blk.output, minlength=256) > 0
+            pres[i] = p
+            arr[i, N : N + 256] = p
+            arr[i, N + 256] = nb & 0xFF
+            arr[i, N + 257] = (nb >> 8) & 0xFF
+            arr[i, N + 258] = (nb >> 16) & 0xFF
+        _t("stage", t0)
+        t0 = _time.perf_counter()
+        packed = jnp.asarray(arr)
+        _t("upload", t0)
+        t0 = _time.perf_counter()
         if sharded:
             dev = encode_blocks_sharded(
-                jnp.asarray(arr), jnp.asarray(ns), jnp.asarray(pres),
-                nseg=nseg, nwords=nwords, mesh=mesh, chunk=_CHUNK,
+                packed, nseg=nseg, nwords=nwords, mesh=mesh, chunk=_CHUNK,
                 use_pallas=_use_pallas(),
             )
         else:
             dev = _encode_blocks(
-                jnp.asarray(arr), jnp.asarray(ns), jnp.asarray(pres),
-                nseg=nseg, nwords=nwords, use_pallas=_use_pallas(),
+                packed, nseg=nseg, nwords=nwords, use_pallas=_use_pallas(),
             )
-        pending.append((group, pres, dev))
+        words_d, nbits_d, ptrs_d = dev
+        k = min(max(k_adapt[0], 256), nwords)
+        packed_d = _pack_out(words_d, nbits_d, ptrs_d, k=k)
+        _t("dispatch", t0)
+        pending.append((group, pres, (words_d, nbits_d, ptrs_d, packed_d)))
         while len(pending) >= _INFLIGHT:
             drain_one()
     while pending:
         drain_one()
+    if timing is not None:
+        import sys
+
+        print("pipeline timing:", {k: round(v, 3) for k, v in
+                                    sorted(timing.items())}, file=sys.stderr)
     return payloads
 
 

@@ -14,13 +14,19 @@ def test_host_fallback_produces_identical_stream(monkeypatch, bunzip):
     expected = host_compress(data, 1)
 
     calls = {"n": 0}
-    real = pipeline._fetch_words
 
-    def flaky_fetch(words, *, k):
-        calls["n"] += 1
-        raise RuntimeError("injected device loss")
+    class Poisoned:
+        """Fails at drain-time materialization, like a lost device."""
 
-    monkeypatch.setattr(pipeline, "_fetch_words", flaky_fetch)
+        shape = (0,)
+
+        def __array__(self, *a, **kw):
+            calls["n"] += 1
+            raise RuntimeError("injected device loss")
+
+    monkeypatch.setattr(
+        pipeline, "_pack_out", lambda *a, **kw: Poisoned()
+    )
     out = pipeline.compress(data, 1, sharded=False)
     assert calls["n"] >= 1
     assert out == expected

@@ -31,7 +31,7 @@ def run_trace(batch: int, quiet: bool = False) -> str:
     from bench import build_corpus
     from banzai_tpu.constants import SEGMENT_WIDTH
     from banzai_tpu.pipeline import (
-        _encode_blocks, _nwords, _padded_len, _use_pallas,
+        _ROW_EXTRA, _encode_blocks, _nwords, _padded_len, _use_pallas,
     )
     from banzai_tpu.rle1 import iter_blocks
 
@@ -44,18 +44,19 @@ def run_trace(batch: int, quiet: bool = False) -> str:
         blocks.append(blk)
         if len(blocks) == batch:
             break
-    arr = np.zeros((batch, N), np.uint8)
-    ns = np.ones(batch, np.int32)
-    pres = np.zeros((batch, 256), bool)
+    arr = np.zeros((batch, N + _ROW_EXTRA), np.uint8)
     for i, blk in enumerate(blocks):
-        arr[i, : len(blk.output)] = blk.output
-        ns[i] = len(blk.output)
-        pres[i] = np.bincount(blk.output, minlength=256) > 0
-    a, nn, pp = jnp.asarray(arr), jnp.asarray(ns), jnp.asarray(pres)
+        nb = len(blk.output)
+        arr[i, :nb] = blk.output
+        arr[i, N : N + 256] = np.bincount(blk.output, minlength=256) > 0
+        arr[i, N + 256] = nb & 0xFF
+        arr[i, N + 257] = (nb >> 8) & 0xFF
+        arr[i, N + 258] = (nb >> 16) & 0xFF
+    a = jnp.asarray(arr)
 
     def call():
         out = _encode_blocks(
-            a, nn, pp, nseg=nseg, nwords=nwords, use_pallas=_use_pallas()
+            a, nseg=nseg, nwords=nwords, use_pallas=_use_pallas()
         )
         np.asarray(out[1])
 

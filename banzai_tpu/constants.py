@@ -23,19 +23,14 @@ def block_capacity(level: int) -> int:
     return BLOCK_UNIT * level - 1
 
 
-# --- Symbol space (MTF/RLE2 stage; lib/mtf.rs:29-31) -----------------------
-RUNA = 0
-RUNB = 1
-MAX_ALPHA = 258                           # RUNA + RUNB + 255 MTF indices + EOB
+# Symbol space (lib/mtf.rs:29-31): RUNA=0, RUNB=1, then 255 shifted MTF
+# indices and EOB — 258 symbols max; documented where used (ops/rle2.py,
+# mtf_rle2.py, ops/huffman.py).
 
 # --- Huffman stage ---------------------------------------------------------
 CODEWORD_MAX_LEN = 17                     # encoder-side cap (lib/huffman.rs:13);
                                           # decoders accept up to 20
 SEGMENT_WIDTH = 50                        # selector granularity (lib/huffman.rs:310)
-NUM_REFINEMENTS = 4                       # greedy refinement sweeps (lib/huffman.rs:307)
-MIN_TABLES = 2
-MAX_TABLES = 6
-MAX_SELECTORS = (2 + 900_000) // SEGMENT_WIDTH + 1
 
 # --- CRC -------------------------------------------------------------------
 CRC32_POLY = 0x04C11DB7                   # MSB-first gzip polynomial (lib/crc32.rs)

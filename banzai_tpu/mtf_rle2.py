@@ -97,8 +97,17 @@ def rle2_encode(
     trailing = len(mtf_idx) - (nz[-1] + 1 if len(nz) else 0)
 
     def run_digit_count(z: np.ndarray) -> np.ndarray:
-        # number of bijective-base-2 digits of z (0 -> 0 digits)
-        return np.where(z > 0, np.int64(np.log2(z + 1)), 0).astype(np.int64)
+        # Number of bijective-base-2 digits of z (0 -> 0 digits):
+        # floor(log2(z+1)) via an exact integer bit-length ladder — same
+        # construction as the device twin (ops/rle2.py), no float anywhere
+        # in the bit-exact path.
+        v = (np.asarray(z, np.int64) + 1).astype(np.uint64)
+        d = np.zeros(v.shape, np.int64)
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= (np.uint64(1) << np.uint64(s))
+            d += big.astype(np.int64) * s
+            v = np.where(big, v >> np.uint64(s), v)
+        return d
 
     zr = zruns_before
     nd = run_digit_count(zr)

@@ -44,24 +44,35 @@ def encode_one_block(
     block, n, pres, *, nseg: int, nwords: int, chunk: int = 512,
     use_pallas: bool = False,
 ):
-    """The complete per-block device pipeline (shared by DP and single-chip)."""
+    """The complete per-block device pipeline (shared by DP and single-chip).
+
+    Stages are wrapped in jax.named_scope so XProf traces group device ops
+    by pipeline stage (SURVEY.md §5 tracing row).
+    """
     num_names = jnp.sum(pres.astype(jnp.int32))
     num_syms = num_names + 2
-    bwt, ptr = bwt_rotations(block, n)
-    idx = mtf_indices_device(bwt, n, pres, chunk=chunk, use_pallas=use_pallas)
-    syms, out_len, _ = rle2_device(idx, n, num_names, with_freqs=False)
-    plan = plan_entropy_device(syms, out_len, num_syms, nseg)
-    vals, lens = block_payload_entries(
-        syms,
-        out_len,
-        num_syms,
-        plan["num_tables"],
-        plan["tables"],
-        plan["selectors"],
-        plan["sel_mtf_idx"],
-        plan["nseg_used"],
-    )
-    words, total_bits = pack_entries(vals, lens, nwords)
+    with jax.named_scope("bwt"):
+        bwt, ptr = bwt_rotations(block, n)
+    with jax.named_scope("mtf"):
+        idx = mtf_indices_device(
+            bwt, n, pres, chunk=chunk, use_pallas=use_pallas
+        )
+    with jax.named_scope("rle2"):
+        syms, out_len, _ = rle2_device(idx, n, num_names, with_freqs=False)
+    with jax.named_scope("huffman_plan"):
+        plan = plan_entropy_device(syms, out_len, num_syms, nseg)
+    with jax.named_scope("bitpack"):
+        vals, lens = block_payload_entries(
+            syms,
+            out_len,
+            num_syms,
+            plan["num_tables"],
+            plan["tables"],
+            plan["selectors"],
+            plan["sel_mtf_idx"],
+            plan["nseg_used"],
+        )
+        words, total_bits = pack_entries(vals, lens, nwords)
     return words, total_bits, ptr
 
 

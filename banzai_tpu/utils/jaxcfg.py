@@ -53,5 +53,16 @@ def enable_compile_cache(path: str | None = None) -> None:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        # Cache-key determinism: with full tracebacks on, every MLIR
+        # location embeds the whole Python call stack — including the
+        # ENTRY SCRIPT's path and line numbers.  The cache key strips
+        # debug info from the outer module, but the Pallas kernel rides
+        # inside an opaque serialized Mosaic payload whose locations
+        # survive canonicalization, so the same pipeline launched from
+        # bench.py / the CLI / a notebook hashed to different keys and
+        # each paid a multi-minute remote TPU compile.  Innermost-frame
+        # locations keep file:line profiling attribution while making
+        # the key a function of the traced code only.
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:
         pass  # cache is an optimization only

@@ -14,9 +14,10 @@ tools/microbench.py):
   * the ``(i+k) mod n`` access is two contiguous dynamic slices, not a
     gather (gathers are the most expensive primitive on this hardware);
   * inverse permutations are key-sorts, not scatters;
-  * round 1 sorts a 15-byte packed prefix (one 3-byte lane with headroom
-    for the pad sentinel + three full 4-byte lanes) in a single 4-key
-    sort, so quadrupling starts at k = 15;
+  * round 1 sorts a _R1_LEN-byte packed prefix (one 3-byte lane with
+    headroom for the pad sentinel + _R1_WORDS full 4-byte lanes) in a
+    single multi-key sort, so octupling starts at k = _R1_LEN and
+    ordinary text usually never needs a full-width round at all;
   * later full-width rounds sort ranks at offsets (0, k, 2k, 3k) — half
     the rounds of classic doubling — and run only while the unresolved
     lane count is too large for the compact buffer (full-width rounds
@@ -61,6 +62,13 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
       (bwt uint8[N] — first ``n`` entries valid, ptr int32).
     """
     N = block.shape[0]
+    assert N < (1 << 20), "position+cmp key packing assumes N < 2^20"
+    # Tier widths.  Measured on this chip: a tier round's random gathers
+    # + scatter-back cost ~4x a full-width sort round per lane touched, so
+    # wide tiers lose — entering the cascade at N/2 to skip full rounds
+    # was 2x SLOWER end-to-end (28.8 vs 7.7+6.8 ms/block on text).  N/8
+    # is the sweet spot: full-width octupling rounds burn down the dense
+    # phase, tiers take the sparse tail.
     W1 = min(max(N // 8, 1024), N)
     W2 = min(max(N // 32, 512), W1)
     W3 = min(max(N // 128, 256), W2)
@@ -76,7 +84,7 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # byte(off) below is a *static* slice that fuses into its consumers
     # (the old per-offset dynamic-slice pairs were ~230 separate thunks).
     dbl0 = jax.lax.dynamic_update_slice(jnp.zeros(2 * N, jnp.int32), b, (0,))
-    need = n + _QMAX + 15
+    need = n + _QMAX + _R1_LEN
 
     def _extend(st):
         dbl, cov = st
@@ -111,9 +119,12 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
         unres = n - nsingle
         return head_pos, ngroups - nsingle, unres, ~single
 
-    # ---- Round 1: 15-byte packed prefix, one 4-key sort -------------------
-    # idx is a 5th *key* (not payload) so ties keep ascending positions —
-    # the chain-resolution pass below needs per-group position order.
+    # ---- Round 1: _R1_LEN-byte packed prefix, one multi-key sort ----------
+    # idx rides in the last *key* (not payload) so ties keep ascending
+    # positions — the chain-resolution pass below needs per-group position
+    # order.  A wide prefix (27 bytes) resolves ordinary text in THIS sort:
+    # the extra key operands cost far less than the full-width octupling
+    # round (9-op sort + inverse) they usually replace.
     pack3 = (b << 16) | (byte(1) << 8) | byte(2)
     key0 = jnp.where(valid, pack3, _PAD_RANK)
 
@@ -126,36 +137,44 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
         )
         return v.astype(jnp.uint32)
 
-    k1, k2, k3 = pack4(3), pack4(7), pack4(11)
+    kws = [pack4(3 + 4 * w) for w in range(_R1_WORDS)]
 
     # Chain-resolution precompute (position space, zero gathers): for every
-    # candidate period q the lex relation between prefix15(i+q) and
-    # prefix15(i), as (gt, eq) bit pairs packed into one int32 payload that
-    # rides the round-1 sort.  See _resolve_chains for how they are used.
+    # candidate period q the lex relation between prefix(i+q) and
+    # prefix(i), as (gt, eq) bit pairs.  The 2*QMAX cmp bits share ONE
+    # uint32 key with the position (idx << 12 | cmpbits): positions are
+    # unique, so the comparison never reaches the cmp bits, ties still come
+    # out in ascending-position order, and round 1 needs one less sort
+    # operand.  See _resolve_chains for how the bits are used.
     cmpbits = zeros
     for q in range(1, _QMAX + 1):
         q0 = (byte(q) << 16) | (byte(q + 1) << 8) | byte(q + 2)
-        q1, q2, q3 = pack4(q + 3), pack4(q + 7), pack4(q + 11)
-        e0, e1, e2, e3 = q0 == pack3, q1 == k1, q2 == k2, q3 == k3
-        eq = e0 & e1 & e2 & e3
-        gt = (q0 > pack3) | (
-            e0 & ((q1 > k1) | (e1 & ((q2 > k2) | (e2 & (q3 > k3)))))
-        )
+        qws = [pack4(q + 3 + 4 * w) for w in range(_R1_WORDS)]
+        gt = jnp.zeros(N, bool)
+        eq = jnp.ones(N, bool)
+        for qa, ka in zip(reversed(qws), reversed(kws)):
+            gt = (qa > ka) | ((qa == ka) & gt)
+            eq = (qa == ka) & eq
+        gt = (q0 > pack3) | ((q0 == pack3) & gt)
+        eq = (q0 == pack3) & eq
         cmpbits = cmpbits | (
             gt.astype(jnp.int32) << (2 * (q - 1))
         ) | (eq.astype(jnp.int32) << (2 * (q - 1) + 1))
 
-    s1, s2, s3, s4, order, cmp_s = _sort(
-        (key0, k1, k2, k3, idx, cmpbits), num_keys=5
+    idx_cmp = (
+        idx.astype(jnp.uint32) << 12
+    ) | cmpbits.astype(jnp.uint32)
+    sorted_r1 = _sort(
+        (key0, *kws, idx_cmp), num_keys=1 + _R1_WORDS + 1
     )
-    diffs = (
-        (s1[1:] != s1[:-1])
-        | (s2[1:] != s2[:-1])
-        | (s3[1:] != s3[:-1])
-        | (s4[1:] != s4[:-1])
-    )
+    oc_s = sorted_r1[-1]
+    order = (oc_s >> 12).astype(jnp.int32)
+    cmp_s = (oc_s & 0xFFF).astype(jnp.int32)
+    diffs = jnp.zeros(N - 1, bool)
+    for s_op in sorted_r1[:-1]:
+        diffs = diffs | (s_op[1:] != s_op[:-1])
     rank_sorted, live_groups, unres, multi = relabel(diffs)
-    k = jnp.int32(15)
+    k = jnp.int32(_R1_LEN)
 
     # ---- Tandem-repeat chain resolution ------------------------------------
     # Periodic regions (runs after RLE1, short-period repeats) produce huge
@@ -351,11 +370,14 @@ def _live(c_head: jax.Array) -> jax.Array:
     return jnp.sum((c_head < _PAD_RANK).astype(jnp.int32))
 
 
-_QMAX = 8   # chain steps detected; must be <= the rank coverage k at entry.
-# 8 (not the full 15 the coverage allows) halves the position-space
-# precompute; real periodic data — RLE1-coded runs (period 5), short
-# repeats — has fundamental period well under 8, and longer periods just
-# fall back to the doubling rounds.
+_R1_WORDS = 6  # 4-byte words after the 3-byte head: prefix = 3 + 4*_R1_WORDS
+_R1_LEN = 3 + 4 * _R1_WORDS
+
+_QMAX = 6   # chain steps detected; must be <= the rank coverage k at entry
+# and <= 6 so the 2*QMAX cmp bits fit beside a 20-bit position in one
+# uint32 sort key (N < 2^20).  Real periodic data — RLE1-coded runs
+# (period 5), short repeats — has fundamental period well under 6; longer
+# periods fall back to the doubling rounds.
 
 
 def _resolve_chains(r_s, p_s, cmp_s, n, idx, valid):

@@ -44,7 +44,9 @@ from .utils import enable_compile_cache
 enable_compile_cache()
 
 _CHUNK = 64           # MTF chunk length (sequential depth per chunk)
-_DEFAULT_BATCH = 8
+_DEFAULT_BATCH = 8    # blocks per device batch.  16 would amortize the
+# ~50 ms/call relay latency further, but its [16, N] compile has twice
+# hung the remote compile service; revisit when measurable.
 _INFLIGHT = 3         # batches dispatched ahead of the host drain
 
 
@@ -235,7 +237,6 @@ def compress_blocks_payloads(
     import itertools
 
     block_iter = iter_blocks(data, level)
-    saw_full = False
     while True:
         t0 = _time.perf_counter()
         group = list(itertools.islice(block_iter, batch))
@@ -243,15 +244,12 @@ def compress_blocks_payloads(
         if not group:
             break
         B = len(group)
-        # Batch padding policy: small one-shot inputs pad to a power of
-        # two (cheap compiles, cheap compute); once a full batch has been
-        # seen (a real stream) every tail pads to the full batch so only
-        # ONE shape ever compiles.  Sharded always uses the mesh batch.
-        if sharded or saw_full:
-            tgt = batch
-        else:
-            tgt = min(batch, 1 << (B - 1).bit_length())
-        saw_full = saw_full or B == batch
+        # Batch padding policy: pad to the next power of two <= batch.
+        # Dummy slots cost full device time (static shapes), so a tail of
+        # 7 real blocks runs as [8], not [batch].  The shape ladder is
+        # log2(batch)+1 compiles worst case, all persistent-cached.
+        # Sharded always uses the mesh batch (the mesh fixes the shape).
+        tgt = batch if sharded else min(batch, 1 << (B - 1).bit_length())
         t0 = _time.perf_counter()
         arr = np.zeros((tgt, N + _ROW_EXTRA), np.uint8)
         arr[:, N] = 1                            # dummy blocks: byte 0

@@ -63,10 +63,10 @@ def main() -> None:
 
     from banzai_tpu.pipeline import compress
 
-    # Warm up with > one full batch of level-9 blocks so the timed run
-    # reuses the compiled [batch, N] shapes (batch padding keeps a single
-    # compiled shape per level).
-    compress(corpus[: 8_200_000], level)
+    # Warm up on the full corpus so the timed run reuses every compiled
+    # [batch, N] shape it will hit (the pow-2 tail ladder means the tail
+    # batch can have its own shape).
+    compress(corpus, level)
     t0 = time.time()
     out = compress(corpus, level)
     encode_s = time.time() - t0

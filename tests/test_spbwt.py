@@ -1,0 +1,74 @@
+"""Within-block sharded BWT (parallel/spbwt.py) vs the single-chip path.
+
+Runs on the virtual 8-device CPU mesh (conftest forces the CPU platform
+and 8 host devices).  The sharded rotation sort must be byte-identical to
+ops.bwt.bwt_rotations for every input class the format produces: text,
+RLE1-coded runs (periodic), random, and degenerate tiny blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _cases():
+    rng = np.random.default_rng(7)
+    text = (
+        open("/opt/venv/lib/python3.12/site-packages/jax/_src/lax/lax.py", "rb")
+        .read()[:6000]
+    )
+    return {
+        "text": np.frombuffer(text, np.uint8),
+        "random": rng.integers(0, 256, 5000, dtype=np.uint8),
+        "periodic3": np.frombuffer(b"abc" * 2000, np.uint8),
+        "run": np.full(4000, 122, np.uint8),
+        "run_rle1": np.frombuffer((b"zzzz\x05" * 800), np.uint8),
+        "two": np.frombuffer(b"ba", np.uint8),
+        "one": np.frombuffer(b"q", np.uint8),
+        "alt": np.frombuffer(b"ab" * 3000, np.uint8),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_cases()))
+def test_sharded_matches_single_chip(name):
+    from banzai_tpu.ops.bwt import bwt_rotations
+    from banzai_tpu.parallel.spbwt import bwt_rotations_sharded, lane_mesh
+
+    data = _cases()[name]
+    N = 8192
+    assert len(data) <= N
+    block = np.zeros(N, np.uint8)
+    block[: len(data)] = data
+    n = jnp.int32(len(data))
+
+    ref_bwt, ref_ptr = bwt_rotations(jnp.asarray(block), n)
+    mesh = lane_mesh()
+    got_bwt, got_ptr = bwt_rotations_sharded(
+        jnp.asarray(block), n, mesh=mesh
+    )
+
+    nn = len(data)
+    assert int(got_ptr) == int(ref_ptr), name
+    np.testing.assert_array_equal(
+        np.asarray(got_bwt)[:nn], np.asarray(ref_bwt)[:nn], err_msg=name
+    )
+
+
+def test_sharded_oracle_roundtrip():
+    """Independent check against the naive rotation-sort oracle."""
+    from banzai_tpu.oracle.stages import naive_bwt
+    from banzai_tpu.parallel.spbwt import bwt_rotations_sharded, lane_mesh
+
+    data = b"the quick brown fox jumps over the lazy dog" * 40
+    N = 2048
+    block = np.zeros(N, np.uint8)
+    block[: len(data)] = np.frombuffer(data, np.uint8)
+    got_bwt, got_ptr = bwt_rotations_sharded(
+        jnp.asarray(block), jnp.int32(len(data)), mesh=lane_mesh()
+    )
+    ref_bwt, ref_ptr = naive_bwt(data)
+    assert int(got_ptr) == ref_ptr
+    assert bytes(np.asarray(got_bwt)[: len(data)]) == bytes(ref_bwt)

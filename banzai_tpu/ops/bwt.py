@@ -16,8 +16,7 @@ tools/microbench.py):
   * inverse permutations are key-sorts, not scatters;
   * round 1 sorts a _R1_LEN-byte packed prefix (one 3-byte lane with
     headroom for the pad sentinel + _R1_WORDS full 4-byte lanes) in a
-    single multi-key sort, so octupling starts at k = _R1_LEN and
-    ordinary text usually never needs a full-width round at all;
+    single multi-key sort, so octupling starts at k = _R1_LEN;
   * later full-width rounds sort ranks at offsets (0, k, 2k, 3k) — half
     the rounds of classic doubling — and run only while the unresolved
     lane count is too large for the compact buffer (full-width rounds
@@ -122,9 +121,7 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # ---- Round 1: _R1_LEN-byte packed prefix, one multi-key sort ----------
     # idx rides in the last *key* (not payload) so ties keep ascending
     # positions — the chain-resolution pass below needs per-group position
-    # order.  A wide prefix (27 bytes) resolves ordinary text in THIS sort:
-    # the extra key operands cost far less than the full-width octupling
-    # round (9-op sort + inverse) they usually replace.
+    # order.
     pack3 = (b << 16) | (byte(1) << 8) | byte(2)
     key0 = jnp.where(valid, pack3, _PAD_RANK)
 
@@ -370,7 +367,13 @@ def _live(c_head: jax.Array) -> jax.Array:
     return jnp.sum((c_head < _PAD_RANK).astype(jnp.int32))
 
 
-_R1_WORDS = 6  # 4-byte words after the 3-byte head: prefix = 3 + 4*_R1_WORDS
+_R1_WORDS = 3  # 4-byte words after the 3-byte head: prefix = 3 + 4*_R1_WORDS
+# Why 3 and not wider: on repetitive text (bench corpus: source code) the
+# unresolved fraction is ~47% at 15-byte coverage, ~26% at 27 — both above
+# the N/8 tier entry, and reaching it needs ~120-byte coverage (~30 sort
+# operands).  One octupling full round runs either way, so extra round-1
+# operands and a wider cmp precompute buy nothing (measured curve in
+# tools/, 2026-08-18).
 _R1_LEN = 3 + 4 * _R1_WORDS
 
 _QMAX = 6   # chain steps detected; must be <= the rank coverage k at entry

@@ -6,6 +6,10 @@ and (a) must not raise, (b) must decode bit-exactly through the independent
 system bzip2 decoder, (c) must be no larger than the banzai model's output.
 
 Usage: python fuzz.py [iterations] [--seed S] [--backend numpy|jax]
+                      [--platform cpu|<default>]
+
+``--platform cpu`` pins the jax backend to the host CPU (the axon
+sitecustomize otherwise forces the TPU, which may be unreachable).
 """
 
 from __future__ import annotations
@@ -54,7 +58,16 @@ def main() -> int:
         "--level", type=int, default=1,
         help="compression level 1-9, or 0 to draw a random level per case",
     )
+    ap.add_argument(
+        "--platform", default=None,
+        help="jax platform override (e.g. cpu); default: backend's choice",
+    )
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from banzai_tpu import compress
     from banzai_tpu.oracle import banzai_compress

@@ -183,11 +183,10 @@ def compress_blocks_payloads(
             timing[name] = timing.get(name, 0.0) + _time.perf_counter() - t0
 
     payloads: list[BlockPayload] = []
-    pending: list[tuple[list, np.ndarray, tuple]] = []
     k_adapt = [256]          # sticky word-fetch bucket (see drain_one)
 
-    def drain_one() -> None:
-        group, pres_h, dev = pending.pop(0)
+    def drain_one(item) -> None:
+        group, pres_h, dev = item
         try:
             words_d, nbits_d, ptrs_d, packed_d = dev
             B = nbits_d.shape[0]
@@ -235,6 +234,31 @@ def compress_blocks_payloads(
             )
 
     import itertools
+    import queue
+    import threading
+
+    # Drain runs on a consumer thread: the blocking device fetch and the
+    # host payload decode never sit between two dispatches, so staging /
+    # upload / RLE1 iteration overlap both device compute AND the drain.
+    # A bounded queue keeps at most _INFLIGHT batches in flight (device
+    # memory backpressure), and single-consumer order preserves the
+    # payload stream order.
+    q: "queue.Queue" = queue.Queue(maxsize=_INFLIGHT)
+    drain_exc: list[BaseException] = []
+
+    def consumer() -> None:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            try:
+                drain_one(item)
+            except BaseException as e:  # surface after join
+                drain_exc.append(e)
+                return
+
+    worker = threading.Thread(target=consumer, daemon=True)
+    worker.start()
 
     block_iter = iter_blocks(data, level)
     while True:
@@ -283,11 +307,24 @@ def compress_blocks_payloads(
         k = min(max(k_adapt[0], 256), nwords)
         packed_d = _pack_out(words_d, nbits_d, ptrs_d, k=k)
         _t("dispatch", t0)
-        pending.append((group, pres, (words_d, nbits_d, ptrs_d, packed_d)))
-        while len(pending) >= _INFLIGHT:
-            drain_one()
-    while pending:
-        drain_one()
+        item = (group, pres, (words_d, nbits_d, ptrs_d, packed_d))
+        while not drain_exc:
+            try:
+                q.put(item, timeout=1.0)
+                break
+            except queue.Full:  # consumer alive but busy; retry
+                continue
+        if drain_exc:
+            break
+    while not drain_exc:
+        try:
+            q.put(None, timeout=1.0)
+            break
+        except queue.Full:
+            continue
+    worker.join()
+    if drain_exc:
+        raise drain_exc[0]
     if timing is not None:
         import sys
 

@@ -307,6 +307,12 @@ def compress_blocks_payloads(
         k = min(max(k_adapt[0], 256), nwords)
         packed_d = _pack_out(words_d, nbits_d, ptrs_d, k=k)
         _t("dispatch", t0)
+        try:
+            # Begin the device->host copy now; the consumer's np.asarray
+            # then finds the bytes staged instead of starting the pull.
+            packed_d.copy_to_host_async()
+        except Exception:
+            pass  # backend without async copies: drain pulls as before
         item = (group, pres, (words_d, nbits_d, ptrs_d, packed_d))
         while not drain_exc:
             try:

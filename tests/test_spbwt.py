@@ -57,6 +57,38 @@ def test_sharded_matches_single_chip(name):
     )
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_sharded_matches_single_chip_random(seed):
+    """Randomized content + lengths straddling shard boundaries (N/8
+    multiples +/- 1) — the relabel carry and merge-split edges."""
+    from banzai_tpu.ops.bwt import bwt_rotations
+    from banzai_tpu.parallel.spbwt import bwt_rotations_sharded, lane_mesh
+
+    rng = np.random.default_rng(100 + seed)
+    N = 4096
+    n = int(rng.choice([N, N - 1, N // 2, N // 2 + 1, 3 * N // 8 - 1,
+                        N // 8 + 1]))
+    kind = seed % 3
+    if kind == 0:
+        data = rng.integers(0, 256, n, dtype=np.uint8)
+    elif kind == 1:
+        data = rng.integers(0, 3, n, dtype=np.uint8)        # heavy ties
+    else:
+        p = rng.integers(2, 9)
+        data = np.resize(rng.integers(0, 256, p, dtype=np.uint8), n)
+
+    block = np.zeros(N, np.uint8)
+    block[:n] = data
+    ref_bwt, ref_ptr = bwt_rotations(jnp.asarray(block), jnp.int32(n))
+    got_bwt, got_ptr = bwt_rotations_sharded(
+        jnp.asarray(block), jnp.int32(n), mesh=lane_mesh()
+    )
+    assert int(got_ptr) == int(ref_ptr)
+    np.testing.assert_array_equal(
+        np.asarray(got_bwt)[:n], np.asarray(ref_bwt)[:n]
+    )
+
+
 def test_sharded_oracle_roundtrip():
     """Independent check against the naive rotation-sort oracle."""
     from banzai_tpu.oracle.stages import naive_bwt

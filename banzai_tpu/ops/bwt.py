@@ -17,10 +17,10 @@ tools/microbench.py):
   * round 1 sorts a _R1_LEN-byte packed prefix (one 3-byte lane with
     headroom for the pad sentinel + _R1_WORDS full 4-byte lanes) in a
     single multi-key sort, so octupling starts at k = _R1_LEN;
-  * later full-width rounds sort ranks at offsets (0, k, 2k, 3k) — half
-    the rounds of classic doubling — and run only while the unresolved
-    lane count is too large for the compact buffer (full-width rounds
-    need no gathers; compact rounds cost ~gathers x width);
+  * later full-width rounds sort ranks at offsets (0, k, ..., 7k) —
+    octupling coverage per round (_FMULT = 8) — and run only while the
+    unresolved lane count is too large for the compact buffer (full-width
+    rounds need no gathers; compact rounds cost ~gathers x width);
   * ranks are *positional* (Larsson–Sadakane style: a rank is the SA slot
     of its group head), so refinement touches only unresolved lanes;
   * refinement runs over a cascade of compact buffers (N/8 → N/32 →
@@ -82,7 +82,13 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # covered prefix — ~20 cheap dynamic-update-slices — so that every
     # byte(off) below is a *static* slice that fuses into its consumers
     # (the old per-offset dynamic-slice pairs were ~230 separate thunks).
-    dbl0 = jax.lax.dynamic_update_slice(jnp.zeros(2 * N, jnp.int32), b, (0,))
+    # Extension length: N for the wrap copy, but never less than the
+    # static byte() reach (_QMAX + _R1_LEN) — tiny test blocks (N < 24)
+    # would otherwise make the static slices run off the buffer.
+    extn = max(N, _QMAX + _R1_LEN + 8)
+    dbl0 = jax.lax.dynamic_update_slice(
+        jnp.zeros(N + extn, jnp.int32), b, (0,)
+    )
     need = n + _QMAX + _R1_LEN
 
     def _extend(st):

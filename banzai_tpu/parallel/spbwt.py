@@ -152,7 +152,8 @@ def bwt_rotations_sharded(
 
         def relabel(k1, k2):
             """Positional ranks for sorted shards (rank = global slot of
-            the group head) + the global unresolved-lane count."""
+            the group head), the global unresolved-lane count, and the
+            global multi-group count (groups of size >= 2)."""
             pk1 = jnp.concatenate(
                 [_edge(k1[-1:], "lanes", right_perm, me > 0, _PAD)[None],
                  k1[:-1]]
@@ -180,7 +181,10 @@ def bwt_rotations_sharded(
                 ((k1 == pk1) & (k2 == pk2)) | ((k1 == nk1) & (k2 == nk2))
             )
             unres = jax.lax.psum(jnp.sum(tied.astype(jnp.int32)), "lanes")
-            return rank_sorted, unres
+            groups = jax.lax.psum(
+                jnp.sum((is_head & tied).astype(jnp.int32)), "lanes"
+            )
+            return rank_sorted, unres, groups
 
         def replicate_rank(sidx, rank_sorted):
             # all_gather the (idx, rank) pairs, scatter into idx order.
@@ -201,18 +205,18 @@ def bwt_rotations_sharded(
         k1, k2, sidx = _merge_split_sort(
             (k1, k2, sidx), "lanes", D, num_keys=2
         )
-        rank_sorted, unres = relabel(k1, k2)
+        rank_sorted, unres, groups = relabel(k1, k2)
         rank_rep = replicate_rank(sidx, rank_sorted)
 
         # ---- Doubling rounds ----------------------------------------------
         def body(state):
-            k, _rank_rep, _sidx, unres = state
+            k, _rank_rep, _sidx, unres, groups, _cont = state
             r0 = jnp.where(
                 valid,
-                jax.lax.dynamic_slice(_rank_rep, (me * m,), (m,)),
-                jnp.int32(2**30),
-            ).astype(jnp.uint32)
-            r0 = jnp.where(valid, r0, _PAD)
+                jax.lax.dynamic_slice(_rank_rep, (me * m,), (m,))
+                .astype(jnp.uint32),
+                _PAD,
+            )
             j = jnp.where(n > 0, (idx + k) % n, 0)
             r1 = jnp.where(valid, _rank_rep[j], 0).astype(jnp.uint32)
             s1, s2, sidx = jax.lax.sort(
@@ -221,20 +225,25 @@ def bwt_rotations_sharded(
             s1, s2, sidx = _merge_split_sort(
                 (s1, s2, sidx), "lanes", D, num_keys=2
             )
-            rank_sorted, unres2 = relabel(s1, s2)
+            rank_sorted, unres2, groups2 = relabel(s1, s2)
             rank_rep2 = replicate_rank(sidx, rank_sorted)
             k2x = k * 2
-            # Stalled (no lane resolved) => remaining ties are identical
-            # rotations (periodic input): done.
-            done = (unres2 == 0) | (unres2 == unres) | (k2x >= n)
-            return (k2x, rank_rep2, sidx, jnp.where(done, 0, unres2))
+            # Stalled <=> no lane resolved AND no tie group split (a round
+            # can split a group into smaller multi-groups without changing
+            # the lane count — progress the count alone misses; see the
+            # single-chip guard in ops/bwt.py full_round).  Then remaining
+            # ties are identical rotations (periodic input): done.
+            stalled = (unres2 == unres) & (groups2 == groups)
+            done = (unres2 == 0) | stalled | (k2x >= n)
+            return (
+                k2x, rank_rep2, sidx, unres2, groups2,
+                jnp.where(done, 0, 1).astype(jnp.int32),
+            )
 
-        state = (
-            jnp.int32(3), rank_rep, sidx,
-            jnp.where((unres == 0) | (3 >= n), 0, unres),
-        )
-        state = jax.lax.while_loop(lambda s: s[3] > 0, body, state)
-        _, rank_rep, sidx, _ = state
+        cont0 = jnp.where((unres == 0) | (3 >= n), 0, 1).astype(jnp.int32)
+        state = (jnp.int32(3), rank_rep, sidx, unres, groups, cont0)
+        state = jax.lax.while_loop(lambda s: s[5] > 0, body, state)
+        _, rank_rep, sidx, _, _, _ = state
 
         # ---- Extraction ----------------------------------------------------
         # The final sorted-slot shards order the rotations; identical-

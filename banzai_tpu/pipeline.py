@@ -178,9 +178,17 @@ def compress_blocks_payloads(
         {} if os.environ.get("BANZAI_TIME") else None
     )
 
+    import threading as _threading
+
+    _tlock = _threading.Lock()
+
     def _t(name: str, t0: float) -> None:
+        # Called from both the producer and the drain consumer thread.
         if timing is not None:
-            timing[name] = timing.get(name, 0.0) + _time.perf_counter() - t0
+            with _tlock:
+                timing[name] = (
+                    timing.get(name, 0.0) + _time.perf_counter() - t0
+                )
 
     payloads: list[BlockPayload] = []
     k_adapt = [256]          # sticky word-fetch bucket (see drain_one)
@@ -240,9 +248,10 @@ def compress_blocks_payloads(
     # Drain runs on a consumer thread: the blocking device fetch and the
     # host payload decode never sit between two dispatches, so staging /
     # upload / RLE1 iteration overlap both device compute AND the drain.
-    # A bounded queue keeps at most _INFLIGHT batches in flight (device
-    # memory backpressure), and single-consumer order preserves the
-    # payload stream order.
+    # In-flight bound: queue (_INFLIGHT) + one in the consumer's hands +
+    # the one just dispatched = _INFLIGHT + 2 batches of device output
+    # buffers (~15 MB each at level 9 — far under HBM).  Single-consumer
+    # order preserves the payload stream order.
     q: "queue.Queue" = queue.Queue(maxsize=_INFLIGHT)
     drain_exc: list[BaseException] = []
 
@@ -261,74 +270,83 @@ def compress_blocks_payloads(
     worker.start()
 
     block_iter = iter_blocks(data, level)
-    while True:
-        t0 = _time.perf_counter()
-        group = list(itertools.islice(block_iter, batch))
-        _t("rle1_iter", t0)
-        if not group:
-            break
-        B = len(group)
-        # Batch padding policy: pad to the next power of two <= batch.
-        # Dummy slots cost full device time (static shapes), so a tail of
-        # 7 real blocks runs as [8], not [batch].  The shape ladder is
-        # log2(batch)+1 compiles worst case, all persistent-cached.
-        # Sharded always uses the mesh batch (the mesh fixes the shape).
-        tgt = batch if sharded else min(batch, 1 << (B - 1).bit_length())
-        t0 = _time.perf_counter()
-        arr = np.zeros((tgt, N + _ROW_EXTRA), np.uint8)
-        arr[:, N] = 1                            # dummy blocks: byte 0
-        arr[:, N + 256] = 1                      # present, length 1
-        pres = np.zeros((tgt, 256), bool)
-        pres[:, 0] = True
-        for i, blk in enumerate(group):
-            nb = len(blk.output)
-            arr[i, :nb] = blk.output
-            p = np.bincount(blk.output, minlength=256) > 0
-            pres[i] = p
-            arr[i, N : N + 256] = p
-            arr[i, N + 256] = nb & 0xFF
-            arr[i, N + 257] = (nb >> 8) & 0xFF
-            arr[i, N + 258] = (nb >> 16) & 0xFF
-        _t("stage", t0)
-        t0 = _time.perf_counter()
-        packed = jnp.asarray(arr)
-        _t("upload", t0)
-        t0 = _time.perf_counter()
-        if sharded:
-            dev = encode_blocks_sharded(
-                packed, nseg=nseg, nwords=nwords, mesh=mesh, chunk=_CHUNK,
-                use_pallas=_use_pallas(),
-            )
-        else:
-            dev = _encode_blocks(
-                packed, nseg=nseg, nwords=nwords, use_pallas=_use_pallas(),
-            )
-        words_d, nbits_d, ptrs_d = dev
-        k = min(max(k_adapt[0], 256), nwords)
-        packed_d = _pack_out(words_d, nbits_d, ptrs_d, k=k)
-        _t("dispatch", t0)
-        try:
-            # Begin the device->host copy now; the consumer's np.asarray
-            # then finds the bytes staged instead of starting the pull.
-            packed_d.copy_to_host_async()
-        except Exception:
-            pass  # backend without async copies: drain pulls as before
-        item = (group, pres, (words_d, nbits_d, ptrs_d, packed_d))
+
+    def produce() -> None:
+        while True:
+            t0 = _time.perf_counter()
+            group = list(itertools.islice(block_iter, batch))
+            _t("rle1_iter", t0)
+            if not group:
+                break
+            B = len(group)
+            # Batch padding policy: pad to the next power of two <= batch.
+            # Dummy slots cost full device time (static shapes), so a tail of
+            # 7 real blocks runs as [8], not [batch].  The shape ladder is
+            # log2(batch)+1 compiles worst case, all persistent-cached.
+            # Sharded always uses the mesh batch (the mesh fixes the shape).
+            tgt = batch if sharded else min(batch, 1 << (B - 1).bit_length())
+            t0 = _time.perf_counter()
+            arr = np.zeros((tgt, N + _ROW_EXTRA), np.uint8)
+            arr[:, N] = 1                            # dummy blocks: byte 0
+            arr[:, N + 256] = 1                      # present, length 1
+            pres = np.zeros((tgt, 256), bool)
+            pres[:, 0] = True
+            for i, blk in enumerate(group):
+                nb = len(blk.output)
+                arr[i, :nb] = blk.output
+                p = np.bincount(blk.output, minlength=256) > 0
+                pres[i] = p
+                arr[i, N : N + 256] = p
+                arr[i, N + 256] = nb & 0xFF
+                arr[i, N + 257] = (nb >> 8) & 0xFF
+                arr[i, N + 258] = (nb >> 16) & 0xFF
+            _t("stage", t0)
+            t0 = _time.perf_counter()
+            packed = jnp.asarray(arr)
+            _t("upload", t0)
+            t0 = _time.perf_counter()
+            if sharded:
+                dev = encode_blocks_sharded(
+                    packed, nseg=nseg, nwords=nwords, mesh=mesh, chunk=_CHUNK,
+                    use_pallas=_use_pallas(),
+                )
+            else:
+                dev = _encode_blocks(
+                    packed, nseg=nseg, nwords=nwords, use_pallas=_use_pallas(),
+                )
+            words_d, nbits_d, ptrs_d = dev
+            k = min(max(k_adapt[0], 256), nwords)
+            packed_d = _pack_out(words_d, nbits_d, ptrs_d, k=k)
+            _t("dispatch", t0)
+            try:
+                # Begin the device->host copy now; the consumer's np.asarray
+                # then finds the bytes staged instead of starting the pull.
+                packed_d.copy_to_host_async()
+            except Exception:
+                pass  # backend without async copies: drain pulls as before
+            item = (group, pres, (words_d, nbits_d, ptrs_d, packed_d))
+            while not drain_exc:
+                try:
+                    q.put(item, timeout=1.0)
+                    break
+                except queue.Full:  # consumer alive but busy; retry
+                    continue
+            if drain_exc:
+                break
+
+    try:
+        produce()
+    finally:
+        # Producer failures (compile error, OOM, iter_blocks) must still
+        # shut the consumer down — else the thread leaks blocked in get()
+        # holding device buffers.
         while not drain_exc:
             try:
-                q.put(item, timeout=1.0)
+                q.put(None, timeout=1.0)
                 break
-            except queue.Full:  # consumer alive but busy; retry
+            except queue.Full:
                 continue
-        if drain_exc:
-            break
-    while not drain_exc:
-        try:
-            q.put(None, timeout=1.0)
-            break
-        except queue.Full:
-            continue
-    worker.join()
+        worker.join()
     if drain_exc:
         raise drain_exc[0]
     if timing is not None:

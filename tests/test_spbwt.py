@@ -89,6 +89,50 @@ def test_sharded_matches_single_chip_random(seed):
     )
 
 
+def test_sharded_stall_group_split_regression():
+    """A doubling round can split a tie group into smaller multi-groups
+    without resolving any lane; the stall rule must compare group counts,
+    not lane counts (review finding, verified counterexample)."""
+    from banzai_tpu.oracle.stages import naive_bwt
+    from banzai_tpu.parallel.spbwt import bwt_rotations_sharded, lane_mesh
+
+    data = b"\x00" * 7 + b"\x01" + b"\x00" * 5 + b"\x01"
+    N = 16
+    block = np.zeros(N, np.uint8)
+    block[: len(data)] = np.frombuffer(data, np.uint8)
+    got_bwt, got_ptr = bwt_rotations_sharded(
+        jnp.asarray(block), jnp.int32(len(data)), mesh=lane_mesh()
+    )
+    ref_bwt, ref_ptr = naive_bwt(data)
+    assert int(got_ptr) == ref_ptr
+    assert bytes(np.asarray(got_bwt)[: len(data)]) == bytes(ref_bwt)
+
+
+def test_exhaustive_tiny_binary_vs_naive():
+    """Exhaustive binary strings n<=8 on BOTH paths vs the naive oracle
+    (also covers the tiny-N static-slice extension in ops/bwt.py)."""
+    import itertools
+
+    from banzai_tpu.oracle.stages import naive_bwt
+    from banzai_tpu.ops.bwt import bwt_rotations
+    from banzai_tpu.parallel.spbwt import bwt_rotations_sharded, lane_mesh
+
+    mesh = lane_mesh()
+    N = 16
+    for n in range(1, 9):
+        for bits in itertools.product([0, 1], repeat=n):
+            data = bytes(bits)
+            block = np.zeros(N, np.uint8)
+            block[:n] = np.frombuffer(data, np.uint8)
+            nb, npk = naive_bwt(data)
+            rb, rp = bwt_rotations(jnp.asarray(block), jnp.int32(n))
+            assert (bytes(np.asarray(rb)[:n]), int(rp)) == (nb, npk), bits
+            gb, gp = bwt_rotations_sharded(
+                jnp.asarray(block), jnp.int32(n), mesh=mesh
+            )
+            assert (bytes(np.asarray(gb)[:n]), int(gp)) == (nb, npk), bits
+
+
 def test_sharded_oracle_roundtrip():
     """Independent check against the naive rotation-sort oracle."""
     from banzai_tpu.oracle.stages import naive_bwt

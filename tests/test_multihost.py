@@ -39,8 +39,8 @@ def _corpus() -> bytes:
     return b"".join(parts)
 
 
-@pytest.mark.parametrize("level", [1])
-def test_two_process_stream_matches_single_host(tmp_path, level):
+@pytest.mark.parametrize("level,nproc", [(1, 2), (1, 3)])
+def test_two_process_stream_matches_single_host(tmp_path, level, nproc):
     data = _corpus()
     inp = tmp_path / "input.bin"
     outp = tmp_path / "multi.bz2"
@@ -54,12 +54,12 @@ def test_two_process_stream_matches_single_host(tmp_path, level):
     worker = os.path.join(REPO, "tests", "multihost_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port),
+            [sys.executable, worker, str(pid), str(nproc), str(port),
              str(inp), str(outp), str(level)],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     for p in procs:
         try:

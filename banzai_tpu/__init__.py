@@ -121,13 +121,14 @@ def encode(
             consumed = 0
             for blk in take:
                 stream_crc = combine_stream_crc(stream_crc, blk.crc)
-                bits0 = bw.bit_length
-                encode_block(bw, blk.output, blk.crc)
+                ptr, payload_bits = encode_block(bw, blk.output, blk.crc)
                 consumed += blk.consumed
                 if report is not None:
+                    # Same numbers as the device path: entropy payload
+                    # bits (excl. header/symmap) and the real BWT ptr.
                     report.add_block(
                         blk.consumed, len(blk.output),
-                        bw.bit_length - bits0, 0, blk.crc,
+                        payload_bits, ptr, blk.crc,
                     )
             tail = data[consumed:]
         flush()

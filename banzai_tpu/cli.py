@@ -198,7 +198,15 @@ def main(argv: list[str] | None = None) -> int:
         if close_reader:
             reader.close()
         if close_writer:
-            writer.close()
+            try:
+                writer.close()
+            except OSError as e:
+                # A buffered flush can fail only here (e.g. ENOSPC):
+                # report it as an output-IO error, not a traceback.
+                print(
+                    f"bnz: error during compression: {e}", file=sys.stderr
+                )
+                return EXIT_OUTPUT_IO
 
     if report is not None:
         print(report.summary(), file=sys.stderr)

@@ -37,7 +37,10 @@ def compress(data: bytes, level: int = 9) -> bytes:
     return bw.close()
 
 
-def encode_block(bw: BitWriter, rle1_out: np.ndarray, crc: int) -> None:
+def encode_block(bw: BitWriter, rle1_out: np.ndarray, crc: int) -> tuple[int, int]:
+    """Write one block; returns (ptr, entropy_payload_bits) so callers can
+    report the same numbers the device path does (BlockStats contract:
+    payload bits exclude the header/symbol map)."""
     bwt, ptr = numpy_bwt(rle1_out)
     present = np.zeros(256, dtype=bool)
     present[rle1_out] = True
@@ -47,4 +50,6 @@ def encode_block(bw: BitWriter, rle1_out: np.ndarray, crc: int) -> None:
     plan = plan_entropy(syms, num_names + 2, freqs)
     write_block_header(bw, crc, ptr)
     write_sym_map(bw, present)
+    bits0 = bw.bit_length
     write_entropy(bw, syms, plan)
+    return ptr, bw.bit_length - bits0

@@ -38,7 +38,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..crc32 import combine_stream_crc
-from ..rle1 import split_blocks
+from ..rle1 import iter_blocks
 
 _GATHER_CHUNK = 8 << 20  # bytes per DCN gather round
 
@@ -56,19 +56,23 @@ def plan_spans(data, level: int, n_hosts: int) -> list[Span]:
     Called on process 0 only; the result is broadcast (see
     ``_broadcast_spans``).  Guarantees the multi-host stream is
     byte-identical to the single-host one.
+
+    Streams the input through the lazy splitter, retaining only one
+    ``consumed`` int per block — planning a 100 GB input costs one block
+    of working memory plus ~1 MB of boundary ints, never the block
+    payloads themselves.
     """
-    blocks = split_blocks(data, level)
-    total = len(blocks)
+    consumed = [b.consumed for b in iter_blocks(data, level)]
+    total = len(consumed)
     per = (total + n_hosts - 1) // n_hosts
     spans = []
     off = 0
     bi = 0
     for h in range(n_hosts):
-        take = blocks[bi : bi + per]
-        length = sum(b.consumed for b in take)
+        length = sum(consumed[bi : bi + per])
         spans.append(Span(off, length, bi))
         off += length
-        bi += len(take)
+        bi += min(per, max(0, total - bi))
     return spans
 
 
@@ -157,12 +161,23 @@ def encode_multihost_path(path: str, level: int = 9) -> bytes:
     spans = None
     if pid == 0:
         with open(path, "rb") as f:
+            mm = None
             try:
                 mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-                data = memoryview(mm)
+                data = mm
             except ValueError:          # empty file
                 data = b""
-            spans = plan_spans(bytes(data), level, nproc)
+            try:
+                # Streamed boundary scan over the mmap — no input-sized
+                # copy; process 0's footprint is one block + the span ints.
+                spans = plan_spans(data, level, nproc)
+            finally:
+                if mm is not None:
+                    try:
+                        mm.close()
+                    except BufferError:
+                        pass  # a stray view still holds the buffer; GC's
+
     spans = _broadcast_spans(spans, nproc)
     span = spans[pid]
     with open(path, "rb") as f:

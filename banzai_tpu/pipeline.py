@@ -191,7 +191,15 @@ def compress_blocks_payloads(
                 )
 
     payloads: list[BlockPayload] = []
-    k_adapt = [256]          # sticky word-fetch bucket (see drain_one)
+    # Adaptive word-fetch bucket: fetch width follows the max compressed
+    # size of the last few batches (not an all-time max, so one
+    # incompressible stretch can't permanently inflate every later fetch).
+    # A shrink that undershoots costs one refetch round trip, then the
+    # window re-adapts.
+    k_recent: list[int] = [256, 256, 256]
+
+    def _k_now() -> int:
+        return min(max(max(k_recent), 256), nwords)
 
     def drain_one(item) -> None:
         group, pres_h, dev = item
@@ -206,11 +214,12 @@ def compress_blocks_payloads(
             k = (len(flat) - 2 * B) // B
             words = flat[2 * B :].reshape(B, k)
             kmax = max(1, int(nbits[: len(group)].max() + 31) // 32)
-            k_adapt[0] = max(k_adapt[0], min(_bucket(kmax), nwords))
+            k_recent.append(min(_bucket(kmax), nwords))
+            del k_recent[:-3]
             if kmax > k:
                 # Bucket miss: refetch at the wider bucket (one extra
-                # round trip); k_adapt keeps later batches on one fetch.
-                words = np.asarray(_fetch_words(words_d, k=k_adapt[0]))
+                # round trip); the window keeps later batches on one fetch.
+                words = np.asarray(_fetch_words(words_d, k=_k_now()))
         except Exception as e:
             # Failure recovery: blocks are independent, so a lost device
             # batch is simply re-encoded on the host (same algorithms,
@@ -315,7 +324,7 @@ def compress_blocks_payloads(
                     packed, nseg=nseg, nwords=nwords, use_pallas=_use_pallas(),
                 )
             words_d, nbits_d, ptrs_d = dev
-            k = min(max(k_adapt[0], 256), nwords)
+            k = _k_now()
             packed_d = _pack_out(words_d, nbits_d, ptrs_d, k=k)
             _t("dispatch", t0)
             try:

@@ -319,7 +319,11 @@ def iter_blocks(data, level: int, native: bool | None = None):
     if isinstance(data, np.ndarray):
         arr = np.ascontiguousarray(data, dtype=np.uint8)
     else:
-        arr = np.frombuffer(bytes(data), dtype=np.uint8)
+        try:
+            # Zero-copy for bytes / memoryview / mmap buffers.
+            arr = np.frombuffer(data, dtype=np.uint8)
+        except (TypeError, ValueError):
+            arr = np.frombuffer(bytes(data), dtype=np.uint8)
     n = len(arr)
     cap = block_capacity(level)
     data_bytes = arr.tobytes()

@@ -43,7 +43,10 @@ def test_parse_errors():
     assert parse_args(["--output"]) == EXIT_USAGE
 
 
-def _run(args, data=None, cwd="/root/repo"):
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, data=None, cwd=REPO):
     env = dict(os.environ, BANZAI_TPU_BACKEND="numpy")
     return subprocess.run(
         [sys.executable, "-m", "banzai_tpu.cli", *args],

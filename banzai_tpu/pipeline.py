@@ -164,14 +164,16 @@ def compress_blocks_payloads(
     nseg = (N + 1 + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
     nwords = _nwords(N, nseg)
 
+    import os
+
     ndev = len(jax.local_devices())
     if sharded is None:
         sharded = ndev > 1
     mesh = block_mesh() if sharded else None
     if batch is None:
-        batch = ndev * 2 if sharded else _DEFAULT_BATCH
-
-    import os
+        batch = int(os.environ.get("BANZAI_BATCH", "0")) or (
+            ndev * 2 if sharded else _DEFAULT_BATCH
+        )
     import time as _time
 
     timing: dict[str, float] | None = (

@@ -34,3 +34,7 @@ SEGMENT_WIDTH = 50                        # selector granularity (lib/huffman.rs
 
 # --- CRC -------------------------------------------------------------------
 CRC32_POLY = 0x04C11DB7                   # MSB-first gzip polynomial (lib/crc32.rs)
+
+# --- Symbol/table shape constants (shared by ops/huffman.py, ops/bitpack.py)
+MAX_SYMS = 258                            # RUNA/RUNB + 255 MTF + EOB, padded
+MAX_TABLES = 6                            # bzip2 table cap (lib/huffman.rs:13)

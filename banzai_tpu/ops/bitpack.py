@@ -18,10 +18,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..constants import CODEWORD_MAX_LEN, SEGMENT_WIDTH
-
-S = 258
-T = 6
+from ..constants import (
+    CODEWORD_MAX_LEN, MAX_SYMS as S, MAX_TABLES as T, SEGMENT_WIDTH,
+)
 
 
 def canonical_words(tables: jax.Array, num_syms: jax.Array) -> jax.Array:
@@ -69,7 +68,10 @@ def pack_entries(
     fits = lens <= space
     hi = jnp.where(
         fits,
-        v << jnp.where(fits, space - lens, 0).astype(jnp.uint32),
+        # & 31: a zero-length entry at a word boundary gives space-lens
+        # == 32, and shl-by-width is undefined in XLA (v is 0 there, so
+        # any defined shift result is correct).
+        v << ((jnp.where(fits, space - lens, 0) & 31).astype(jnp.uint32)),
         v >> jnp.where(fits, 0, lens - space).astype(jnp.uint32),
     )
     lo = jnp.where(
@@ -198,11 +200,9 @@ def block_payload_entries(
         tab_seg = jnp.where(
             selectors[:, None] == t, packed_tab[t][None, :], tab_seg
         )
-    L = nseg * SEGMENT_WIDTH
-    sym_pad = sym_c[:L] if M >= L else jnp.concatenate(
-        [sym_c, jnp.zeros(L - M, jnp.int32)]
-    )
-    sym_p = sym_pad.reshape(nseg, SEGMENT_WIDTH)
+    from .huffman import segment_view
+
+    sym_p = segment_view(sym_c, nseg, 0)
     sym_ids_s = jnp.arange(S, dtype=jnp.int32)
     packed = jnp.sum(
         jnp.where(
@@ -212,6 +212,7 @@ def block_payload_entries(
         ),
         axis=2,
     ).reshape(-1)
+    L = nseg * SEGMENT_WIDTH
     packed = packed[:M] if L >= M else jnp.concatenate(
         [packed, jnp.zeros(M - L, jnp.int32)]
     )

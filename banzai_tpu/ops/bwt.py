@@ -42,8 +42,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_PAD_RANK = jnp.int32(2**30)
+_PAD_RANK = np.int32(2**30)  # numpy scalar: no device put at import
 
 
 def _sort(ops, num_keys):
@@ -82,10 +83,13 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # covered prefix — ~20 cheap dynamic-update-slices — so that every
     # byte(off) below is a *static* slice that fuses into its consumers
     # (the old per-offset dynamic-slice pairs were ~230 separate thunks).
-    # Extension length: N for the wrap copy, but never less than the
-    # static byte() reach (_QMAX + _R1_LEN) — tiny test blocks (N < 24)
-    # would otherwise make the static slices run off the buffer.
-    extn = max(N, _QMAX + _R1_LEN + 8)
+    # Extension length: must cover BOTH the static byte() reach
+    # (_QMAX + _R1_LEN past position N-1) and the largest doubling write —
+    # cov can reach need-1 = n + _QMAX + _R1_LEN - 1 <= N + 28 before the
+    # final extension write of N lanes, so anything shorter lets
+    # dynamic_update_slice clamp the start and corrupt the extension
+    # (observed: wrong BWT for N in [24,40), n in [15,20]).
+    extn = N + _QMAX + _R1_LEN + 8
     dbl0 = jax.lax.dynamic_update_slice(
         jnp.zeros(N + extn, jnp.int32), b, (0,)
     )

@@ -17,17 +17,30 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..constants import CODEWORD_MAX_LEN, SEGMENT_WIDTH
-
-S = 258          # padded symbol alphabet
-T = 6            # max tables
+from ..constants import (
+    CODEWORD_MAX_LEN, MAX_SYMS as S, MAX_TABLES as T, SEGMENT_WIDTH,
+)
 # Candidate table counts: the full bzip2 range — the sweep is cheap
 # relative to the sort-dominated stages and every fraction of a percent of
 # compressed size counts against the bzip2 -9 baseline.
 NT_CANDIDATES = (2, 3, 4, 5, 6)
-_INF_W = jnp.int32(1 << 29)   # > any finite package weight (sum of freqs)
-_BIG = jnp.float32(1e9)
+_INF_W = np.int32(1 << 29)    # > any finite package weight (sum of freqs)
+_BIG = np.float32(1e9)  # np scalars: no device put at import
+
+
+def segment_view(x: jax.Array, nseg: int, fill) -> jax.Array:
+    """Pad (with ``fill``) or truncate a [M] stream to [nseg, SEGMENT_WIDTH]
+    segment slots — the one shared segmentation of the symbol stream used
+    by both the planner's histogram and the bit packer's codeword lookup
+    (they must agree or selectors and payload would silently diverge)."""
+    L = nseg * SEGMENT_WIDTH
+    M = x.shape[0]
+    xp = x[:L] if M >= L else jnp.concatenate(
+        [x, jnp.full(L - M, fill, x.dtype)]
+    )
+    return xp.reshape(nseg, SEGMENT_WIDTH)
 
 
 def segment_hist(syms: jax.Array, out_len: jax.Array, nseg: int) -> jax.Array:
@@ -44,11 +57,7 @@ def segment_hist(syms: jax.Array, out_len: jax.Array, nseg: int) -> jax.Array:
     sym = jnp.where(live, syms, S)
     # Pad or truncate to nseg*50 slots; out_len <= nseg*50 by contract, so
     # truncated slots are always dead padding.
-    L = nseg * SEGMENT_WIDTH
-    sym = sym[:L] if M >= L else jnp.concatenate(
-        [sym, jnp.full(L - M, S, jnp.int32)]
-    )
-    sym_p = sym.reshape(nseg, SEGMENT_WIDTH)
+    sym_p = segment_view(sym, nseg, S)
     onehot = (
         sym_p[:, :, None] == jnp.arange(S, dtype=jnp.int32)[None, None, :]
     )

@@ -24,9 +24,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _MAX_DIGITS = 20  # zero runs < 2^20 (block <= 900_000)
-_BIG = jnp.int32(1 << 26)  # > any merge key (2*(M+1) < 2^22)
+_BIG = np.int32(1 << 26)  # > any merge key (2*(M+1) < 2^22); np: no device put at import
 
 
 def rle2_device(
@@ -110,7 +111,8 @@ def rle2_device(
     # Compact slot lanes back to a dense stream; (off, val, digit) travel
     # as one packed payload so symbol-slot detection can run densely.
     ext_p = (off_f << 10) | (val_f << 1) | digit
-    s_key = jnp.where(is_entry | (k_s >= _BIG), _BIG, j_slot)
+    # _BIG is even, so pad lanes (k_s >= _BIG) are already is_entry.
+    s_key = jnp.where(is_entry, _BIG, j_slot)
     d_key, d_pay = jax.lax.sort((s_key, ext_p), num_keys=1, is_stable=False)
     d_pay = d_pay[:M]
 

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-_PAD = jnp.uint32(0xFFFFFFFF)  # padded-lane key: sorts behind every real lane
+_PAD = np.uint32(0xFFFFFFFF)  # padded-lane key; np scalar: no device put at import
 
 
 def lane_mesh(devices=None) -> Mesh:

@@ -91,6 +91,21 @@ def main() -> None:
             f"{len(ours_w)} > {len(banzai_w)}"
         )
 
+    # Level-dependent throughput (VERDICT r1 item 7): level 1 uses ~100 KB
+    # blocks — 9x the block count, 1/9th the sort depth per block.
+    lvl1_mbps = 0.0
+    try:
+        compress(corpus[:2_000_000], 1)      # warm level-1 shapes
+        t0 = time.time()
+        out1 = compress(corpus, 1)
+        lvl1_mbps = mb / (time.time() - t0)
+        d1 = subprocess.run(["bzip2", "-d"], input=out1, capture_output=True)
+        assert d1.returncode == 0 and d1.stdout == corpus, "level-1 roundtrip"
+    except Exception as e:
+        if isinstance(e, AssertionError):
+            raise
+        lvl1_mbps = -1.0                     # backend hiccup: don't fail bench
+
     # Per-stage device breakdown (self-time from an XProf trace of the
     # fused batch jit) so regressions stay attributable round over round.
     stages = {}
@@ -113,6 +128,7 @@ def main() -> None:
                     "our_bytes": len(out),
                     "bzip2_bytes": len(p.stdout),
                     "corpus_bytes": len(corpus),
+                    "level1_MBps": round(lvl1_mbps, 3),
                     "stage_ms_per_block": stages,
                 },
             }

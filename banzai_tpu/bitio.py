@@ -60,6 +60,13 @@ class BitWriter:
             return
         nwords = (nbits + 31) // 32
         nbytes = (nbits + 7) // 8
+        if len(words) < nwords:
+            # Silent truncation here would emit a structurally plausible
+            # but undecodable stream; fail loudly instead.
+            raise ValueError(
+                f"splice_words: {len(words)} words < {nwords} needed "
+                f"for {nbits} bits"
+            )
         arr = np.frombuffer(
             np.ascontiguousarray(words[:nwords], dtype=np.uint32)
             .astype(">u4")

@@ -147,17 +147,22 @@ def refine_tables(
 # Exact bit-cost accounting and candidate selection
 # ---------------------------------------------------------------------------
 
-def selector_bits(selectors: np.ndarray, nt: int) -> int:
-    """Unary-MTF cost of the selector list (lib/huffman.rs:471-503)."""
-    stack = list(range(nt))
-    bits = 0
+def iter_selector_mtf(selectors, num_tables: int):
+    """Yield each selector's MTF stack index — the ONE stack walk shared by
+    cost accounting (selector_bits) and emission (write_selectors), so the
+    planner's objective can never silently diverge from the bits written."""
+    stack = list(range(num_tables))
     for sel in selectors:
         idx = stack.index(int(sel))
-        bits += idx + 1
         if idx:
             stack.pop(idx)
             stack.insert(0, int(sel))
-    return bits
+        yield idx
+
+
+def selector_bits(selectors: np.ndarray, nt: int) -> int:
+    """Unary-MTF cost of the selector list (lib/huffman.rs:471-503)."""
+    return sum(idx + 1 for idx in iter_selector_mtf(selectors, nt))
 
 
 def table_delta_bits(tables: np.ndarray) -> int:
@@ -248,12 +253,7 @@ def canonical_codes(lengths: np.ndarray) -> np.ndarray:
 
 def write_selectors(bw: BitWriter, selectors, num_tables: int) -> None:
     """Selectors, MTF + unary coded (format per lib/huffman.rs:471-503)."""
-    stack = list(range(num_tables))
-    for sel in selectors:
-        idx = stack.index(int(sel))
-        if idx:
-            stack.pop(idx)
-            stack.insert(0, int(sel))
+    for idx in iter_selector_mtf(selectors, num_tables):
         bw.write_bits((1 << (idx + 1)) - 2, idx + 1)
 
 

@@ -168,8 +168,11 @@ def big_runs(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     # Dense case: next inequality at/after each start via a reversed
     # running minimum over break positions (contiguous copy — accumulate
     # on a negative-stride view is an order of magnitude slower).
-    idx = np.arange(n - 1, dtype=np.int32)
-    nxt = np.where(eq, np.int32(n - 1), idx)[::-1].copy()
+    # int32 positions fit inputs < 2 GiB; larger inputs need int64 (int32
+    # would raise or silently wrap) at 2x the temp memory.
+    pdt = np.int32 if n - 1 <= np.iinfo(np.int32).max else np.int64
+    idx = np.arange(n - 1, dtype=pdt)
+    nxt = np.where(eq, pdt(n - 1), idx)[::-1].copy()
     np.minimum.accumulate(nxt, out=nxt)
     ends = nxt[n - 2 - starts].astype(np.int64) + 1   # run end (exclusive)
     return starts, ends - starts
@@ -326,7 +329,8 @@ def iter_blocks(data, level: int, native: bool | None = None):
             arr = np.frombuffer(bytes(data), dtype=np.uint8)
     n = len(arr)
     cap = block_capacity(level)
-    data_bytes = arr.tobytes()
+    # bytes input: reuse it (tobytes() would double peak RSS for nothing).
+    data_bytes = data if isinstance(data, bytes) else arr.tobytes()
 
     if native is not False:
         from .native import get_rle1, rle1_block_native
@@ -361,7 +365,7 @@ def split_blocks(data, level: int) -> list[Rle1Block]:
     return list(iter_blocks(data, level))
 
 
-def _local_chunks(offset: int, run_end: int, value: int):
+def _local_chunks(offset: int, run_end: int):
     """Chunk events for the remainder of a run truncated at ``offset``."""
     src, inl, outl, isr = [], [], [], []
     pos = offset
@@ -393,7 +397,7 @@ def _next_block(
         rest = run_end - offset
         if rest >= 4:
             loc_src, loc_in, loc_out, loc_isr = _local_chunks(
-                offset, run_end, int(et.value[k])
+                offset, run_end
             )
         # rest < 4: plain literals, part of the gap.
         skip_until = run_end
@@ -450,7 +454,20 @@ def _next_block(
         cp_floor = offset  # blocks path-A lookback across the block start
         cp_out = 0
         next_j = 0
-    s_next = int(ev.src_start[next_j]) if next_j < len(ev) else n
+    # Fast-forward the checkpoint through pure-literal territory.  Literal
+    # chunk events (big-run tails < 4 bytes) copy input->output 1:1 exactly
+    # like the gaps between events, so only the next RUN event is a
+    # barrier — stopping at a literal event would leave machine_replay to
+    # walk the rest of the block byte-serially in Python (~10-30x slower
+    # on run-then-literal blocks).  Events beyond the j1 view are treated
+    # as barriers too (their kind is unknown here).
+    nxt_run = np.flatnonzero(ev.is_run[next_j:])
+    if len(nxt_run):
+        s_next = int(ev.src_start[next_j + int(nxt_run[0])])
+    elif j1 < ne:
+        s_next = int(et.src_start[j1])
+    else:
+        s_next = n
     avail = max(0, target - cp_out)
     lit_span = max(0, (s_next - 4) - cp_i)
     adv = min(avail, lit_span)

@@ -52,7 +52,7 @@ def mtf_indices_device(
     # as a one-hot compare + max-reduce over [C, chunk, S]: XLA fuses the
     # compare into the reduction (no scatter — scatters cost ~8ms/block on
     # this chip).
-    sym_t = jnp.where(valid, syms, -1).reshape(C, chunk)
+    sym_t = syms.reshape(C, chunk)
     pos_c = pos.reshape(C, chunk)
     sym_col = jnp.arange(_S, dtype=jnp.int32)[None, None, :]
     occ = jnp.max(

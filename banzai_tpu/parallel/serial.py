@@ -50,6 +50,6 @@ class BlockPayload:
                 np.frombuffer(blob, np.uint8, 32, off)
             ).astype(bool)
             off += 32
-            words = np.frombuffer(blob, "<u4", nwords, off).astype(np.uint32)
+            words = np.frombuffer(blob, "<u4", nwords, off)
             off += 4 * nwords
             yield cls(crc, ptr, present, words, nbits)

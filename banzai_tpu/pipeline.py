@@ -132,16 +132,10 @@ def _bucket(n: int) -> int:
 def _host_payload(blk) -> BlockPayload:
     """Encode one block's entropy payload on the host (NumPy twin)."""
     from .bitio import BitWriter
-    from .huffman_host import plan_entropy, write_entropy
-    from .mtf_rle2 import mtf_indices, rle2_encode
-    from .oracle.stages import numpy_bwt
+    from .encoder_host import block_plan
+    from .huffman_host import write_entropy
 
-    bwt, ptr = numpy_bwt(blk.output)
-    present = np.bincount(blk.output, minlength=256) > 0
-    num_names = int(present.sum())
-    idx = mtf_indices(bwt, present)
-    syms, freqs = rle2_encode(idx, num_names)
-    plan = plan_entropy(syms, num_names + 2, freqs)
+    ptr, present, syms, plan = block_plan(blk.output)
     bw = BitWriter()
     write_entropy(bw, syms, plan)
     nbits = bw.bit_length

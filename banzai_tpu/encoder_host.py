@@ -25,28 +25,94 @@ from .oracle.stages import numpy_bwt
 from .rle1 import iter_blocks
 
 
-def compress(data: bytes, level: int = 9) -> bytes:
-    """Encode ``data`` to a .bz2 stream (host backend)."""
+def compress(data: bytes, level: int = 9, jobs: int | None = None) -> bytes:
+    """Encode ``data`` to a .bz2 stream (host backend).
+
+    ``jobs``: worker processes for block-parallel encode (blocks are
+    independent; output is byte-identical at any job count since the
+    ordered stitch is the only shared state — the host analog of the
+    device pipeline's block-DP axis).  Default: BANZAI_HOST_JOBS, else
+    all cores when jax is NOT loaded in this process (forking an
+    XLA-threaded parent is unsafe), else 1.
+    """
+    import os
+    import sys
+
+    if jobs is None:
+        jobs = int(os.environ.get("BANZAI_HOST_JOBS", "0")) or (
+            (os.cpu_count() or 1) if "jax" not in sys.modules else 1
+        )
+
     bw = BitWriter()
     write_stream_header(bw, level)
     stream_crc = 0
-    for blk in iter_blocks(data, level):
+    blocks = iter_blocks(data, level)
+    if jobs > 1:
+        import itertools
+        import multiprocessing as mp
+
+        head = list(itertools.islice(blocks, 3))
+        if len(head) >= 3:                    # enough work for a pool
+            ctx = mp.get_context("fork")
+            with ctx.Pool(jobs) as pool:
+                crcs = []
+
+                def _outputs():
+                    for blk in itertools.chain(head, blocks):
+                        crcs.append(blk.crc)
+                        yield np.ascontiguousarray(blk.output)
+
+                for i, (ptr, present, raw, nbits) in enumerate(
+                    pool.imap(_pool_block, _outputs())
+                ):
+                    crc = crcs[i]
+                    stream_crc = combine_stream_crc(stream_crc, crc)
+                    write_block_header(bw, crc, ptr)
+                    write_sym_map(bw, present)
+                    raw = raw + b"\x00" * (-len(raw) % 4)
+                    words = np.frombuffer(raw, dtype=">u4")
+                    bw.splice_words(words, nbits)
+            write_stream_footer(bw, stream_crc)
+            return bw.close()
+        blocks = iter(head)
+    for blk in blocks:
         stream_crc = combine_stream_crc(stream_crc, blk.crc)
         encode_block(bw, blk.output, blk.crc)
     write_stream_footer(bw, stream_crc)
     return bw.close()
 
 
+def _pool_block(output):
+    """Worker: one block -> (ptr, present, entropy payload bytes, nbits).
+    Touches only NumPy + the native kernels (fork-safe)."""
+    ptr, present, syms, plan = block_plan(output)
+    pbw = BitWriter()
+    write_entropy(pbw, syms, plan)
+    return ptr, present, pbw.close(), pbw.bit_length
+
+
 def block_plan(rle1_out: np.ndarray):
     """The five-stage host pipeline for one block: (ptr, present, syms,
     plan).  The ONE implementation shared by the host backend and the
     device-failure fallback (pipeline._host_payload) — they must emit
-    byte-identical streams, so the stages live in exactly one place."""
-    bwt, ptr = numpy_bwt(rle1_out)
+    byte-identical streams, so the stages live in exactly one place.
+
+    BWT prefers the native SA-IS (linear time, ~20x the NumPy rotation
+    sort; differentially tested byte-exact incl. ptr); numpy_bwt is the
+    portable fallback and the independent test oracle."""
+    from .native import host_bwt_native, mtf_native
+
+    got = host_bwt_native(rle1_out)
+    if got is not None:
+        bwt, ptr = got
+    else:
+        bwt, ptr = numpy_bwt(rle1_out)
     present = np.zeros(256, dtype=bool)
     present[rle1_out] = True
     num_names = int(present.sum())
-    idx = mtf_indices(bwt, present)
+    idx = mtf_native(bwt, present)
+    if idx is None:
+        idx = mtf_indices(bwt, present)
     syms, freqs = rle2_encode(idx, num_names)
     plan = plan_entropy(syms, num_names + 2, freqs)
     return ptr, present, syms, plan

@@ -162,7 +162,12 @@ def iter_selector_mtf(selectors, num_tables: int):
 
 def selector_bits(selectors: np.ndarray, nt: int) -> int:
     """Unary-MTF cost of the selector list (lib/huffman.rs:471-503)."""
-    return sum(idx + 1 for idx in iter_selector_mtf(selectors, nt))
+    from .native import selector_mtf_native
+
+    idx = selector_mtf_native(selectors, nt)
+    if idx is not None:
+        return int(idx.astype(np.int64).sum()) + len(idx)
+    return sum(i + 1 for i in iter_selector_mtf(selectors, nt))
 
 
 def table_delta_bits(tables: np.ndarray) -> int:
@@ -253,7 +258,13 @@ def canonical_codes(lengths: np.ndarray) -> np.ndarray:
 
 def write_selectors(bw: BitWriter, selectors, num_tables: int) -> None:
     """Selectors, MTF + unary coded (format per lib/huffman.rs:471-503)."""
-    for idx in iter_selector_mtf(selectors, num_tables):
+    from .native import selector_mtf_native
+
+    idxs = selector_mtf_native(selectors, num_tables)
+    if idxs is None:
+        idxs = list(iter_selector_mtf(selectors, num_tables))
+    for idx in idxs:
+        idx = int(idx)
         bw.write_bits((1 << (idx + 1)) - 2, idx + 1)
 
 

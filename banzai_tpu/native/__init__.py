@@ -117,6 +117,10 @@ def _build_sais() -> ctypes.CDLL | None:
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
         ctypes.c_int32, ctypes.c_void_p,
     ]
+    lib.selector_mtf.restype = None
+    lib.selector_mtf.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+    ]
     return lib
 
 
@@ -206,3 +210,19 @@ def mtf_native(bwt, present) -> "object | None":
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out.astype(np.int32)
+
+
+def selector_mtf_native(selectors, nt: int) -> "object | None":
+    """MTF stack indices per selector via the native walk; None without a
+    toolchain.  Exact twin of huffman_host.iter_selector_mtf."""
+    import numpy as np
+
+    lib = get_sais()
+    if lib is None:
+        return None
+    sel = np.ascontiguousarray(selectors, dtype=np.uint8)
+    out = np.empty(len(sel), np.uint8)
+    lib.selector_mtf(
+        sel.tobytes(), len(sel), nt, out.ctypes.data_as(ctypes.c_void_p)
+    )
+    return out

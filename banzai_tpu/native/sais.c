@@ -179,3 +179,22 @@ void mtf_encode(const uint8_t *data, int64_t n, const uint8_t *init,
         list[0] = b;
     }
 }
+
+/* MTF stack indices of a selector sequence (bzip2 selector coding):
+ * out_idx[i] = current stack position of sel[i]; used for both the
+ * planner's cost accounting and the emitted unary codes. */
+void selector_mtf(const uint8_t *sel, int64_t n, int32_t nt,
+                  uint8_t *out_idx) {
+    uint8_t stack[8];
+    for (int32_t t = 0; t < nt; t++) stack[t] = (uint8_t)t;
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t s = sel[i];
+        int32_t j = 0;
+        while (stack[j] != s) j++;
+        out_idx[i] = (uint8_t)j;
+        if (j) {
+            memmove(stack + 1, stack, (size_t)j);
+            stack[0] = s;
+        }
+    }
+}

@@ -52,3 +52,20 @@ def test_levels(level, bunzip, sample_blob):
     data = sample_blob * (1 if level == 1 else 3)
     ours = compress(data, level, backend="numpy")
     assert bunzip(ours) == data
+
+
+def test_pool_jobs_byte_identical(bunzip):
+    """Block-parallel host encode must equal the sequential encode bit for
+    bit at any job count (ordered stitch is the only shared state)."""
+    data = (
+        open("/opt/venv/lib/python3.12/site-packages/jax/_src/lax/lax.py",
+             "rb").read()[:250_000]
+        + b"\x00" * 60_000
+        + b"abcde" * 12_000
+    )
+    seq = compress(data, 1, backend="numpy")
+    from banzai_tpu.encoder_host import compress as host_compress
+
+    pooled = host_compress(data, 1, jobs=3)
+    assert pooled == seq
+    assert bunzip(pooled) == data

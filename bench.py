@@ -44,12 +44,22 @@ def build_corpus(target_mb: float = 20.0) -> bytes:
     return (blob * reps)[:target]
 
 
+import os
+
+_PLATFORM = os.environ.get("BANZAI_BENCH_PLATFORM", "")  # e.g. cpu (CI)
+
+
 def _tpu_reachable(timeout_s: int = 240) -> bool:
     """Probe the accelerator in a subprocess: backend init HANGS (not
     errors) when the axon tunnel is down, so the probe needs a timeout."""
+    force = (
+        f"jax.config.update('jax_platforms', {_PLATFORM!r}); "
+        if _PLATFORM
+        else ""
+    )
     try:
         p = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", f"import jax; {force}jax.devices()"],
             capture_output=True, timeout=timeout_s,
         )
         return p.returncode == 0
@@ -92,6 +102,10 @@ def main() -> None:
         bzip2_s = min(bzip2_s, time.time() - t0)
     bzip2_mbps = mb / bzip2_s
 
+    if _PLATFORM:
+        import jax
+
+        jax.config.update("jax_platforms", _PLATFORM)
     from banzai_tpu.pipeline import compress
 
     # Warm up on the full corpus so the timed run reuses every compiled

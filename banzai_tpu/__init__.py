@@ -64,9 +64,14 @@ def encode(
     are appended to it as blocks are flushed.
     """
     from .bitio import BitWriter
+    from .constants import MAX_LEVEL, MIN_LEVEL
     from .container import write_stream_footer, write_stream_header
     from .crc32 import combine_stream_crc
 
+    if not (MIN_LEVEL <= level <= MAX_LEVEL):
+        raise ValueError(f"level must be {MIN_LEVEL}..{MAX_LEVEL}")
+    if backend not in _BACKENDS:
+        raise ValueError(f"backend must be one of {_BACKENDS}")
     if backend == "auto":
         backend = os.environ.get("BANZAI_TPU_BACKEND", "")
         if backend not in _BACKENDS or backend == "auto":
@@ -101,8 +106,12 @@ def encode(
             take = blocks[: len(blocks) - hold] if hold else blocks
             consumed = sum(b.consumed for b in take)
             if take:
-                span = data[:consumed]
-                for blk, p in zip(take, compress_blocks_payloads(span, level)):
+                # Pass the already-split blocks through: re-splitting the
+                # span inside the pipeline would double the RLE1 cost.
+                for blk, p in zip(
+                    take,
+                    compress_blocks_payloads(b"", level, blocks=take),
+                ):
                     stream_crc = combine_stream_crc(stream_crc, p.crc)
                     p.write(bw)
                     if report is not None:

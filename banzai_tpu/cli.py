@@ -137,6 +137,25 @@ def parse_args(argv: list[str]) -> Invocation | int:
     return inv
 
 
+class _InputIOError(Exception):
+    """Read-side failure, tagged so it maps to exit 2 (input IO) instead
+    of the output-IO handler catching the same OSError type."""
+
+
+class _TaggedReader:
+    """Wrap the input stream so read errors are distinguishable from
+    write errors inside the shared encode() loop."""
+
+    def __init__(self, f):
+        self._f = f
+
+    def read(self, n: int = -1):
+        try:
+            return self._f.read(n)
+        except OSError as e:
+            raise _InputIOError(str(e)) from e
+
+
 def main(argv: list[str] | None = None) -> int:
     inv = parse_args(sys.argv[1:] if argv is None else argv)
     if isinstance(inv, int):
@@ -161,6 +180,23 @@ def main(argv: list[str] | None = None) -> int:
     out_path: str | None = None
     if not inv.stdout and (inv.output is not None or inv.input != "-"):
         out_path = inv.output if inv.output is not None else inv.input + ".bz2"
+        # Refuse input == output: opening 'wb' would truncate the input
+        # before the first read and destroy the user's data (bzip2 guards
+        # the same way).
+        try:
+            same = inv.input != "-" and os.path.exists(out_path) and (
+                os.path.samefile(inv.input, out_path)
+            )
+        except OSError:
+            same = False
+        if same:
+            print(
+                f"bnz: input file {inv.input} is the same as output file "
+                f"{out_path}", file=sys.stderr,
+            )
+            if close_reader:
+                reader.close()
+            return EXIT_OUTPUT_IO
         try:
             writer = open(out_path, "wb")
         except OSError as e:
@@ -178,8 +214,21 @@ def main(argv: list[str] | None = None) -> int:
 
         report = EncodeReport(level=inv.level)
 
+    def _drop_partial() -> None:
+        # A mid-stream failure leaves a truncated .bz2 that only fails at
+        # decompress time; remove it like bzip2 does (file outputs only).
+        if out_path is not None:
+            try:
+                writer.close()
+            except Exception:
+                pass
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+
     try:
-        encode(reader, writer, inv.level, report=report)
+        encode(_TaggedReader(reader), writer, inv.level, report=report)
         if not close_writer:
             writer.flush()
     except BrokenPipeError:
@@ -190,9 +239,15 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:
             pass
         return EXIT_OUTPUT_IO
+    except _InputIOError as e:
+        # Read-side failure: input-IO exit code (see module docstring).
+        print(f"bnz: cannot read {inv.input}: {e}", file=sys.stderr)
+        _drop_partial()
+        return EXIT_INPUT_IO
     except OSError as e:
         # Compression/IO failure mid-stream (bnz/src/main.rs:287-290).
         print(f"bnz: error during compression: {e}", file=sys.stderr)
+        _drop_partial()
         return EXIT_OUTPUT_IO
     finally:
         if close_reader:

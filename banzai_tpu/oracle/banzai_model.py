@@ -183,6 +183,12 @@ def _banzai_huffman(bw: BitWriter, syms: list[int], num_syms: int, freqs) -> Non
     freq_remaining = input_size
     sym_left = 0
     for t in range(num_tables):
+        if sym_left >= num_syms:
+            # Earlier tables consumed the whole alphabet (extreme skew):
+            # the remaining tables get empty ranges instead of indexing
+            # past freqs.
+            tables.append([0] * num_syms)
+            continue
         target = freq_remaining // (num_tables - t)
         acc = 0
         sym_right = sym_left

@@ -76,6 +76,25 @@ def encode_one_block(
     return words, total_bits, ptr
 
 
+def encode_batch_rows(
+    rows, *, nseg: int, nwords: int, chunk: int, use_pallas: bool
+):
+    """Unpack a packed [B, N+260] row batch and encode every block — the
+    ONE batch body shared by the single-chip jit (pipeline._encode_blocks)
+    and the shard_map below (they must stay in lockstep: same row layout,
+    same per-block signature)."""
+    from ..pipeline import _ROW_EXTRA, _unpack_rows
+
+    blocks, ns, present = _unpack_rows(rows, rows.shape[1] - _ROW_EXTRA)
+    fn = jax.vmap(
+        partial(
+            encode_one_block, nseg=nseg, nwords=nwords, chunk=chunk,
+            use_pallas=use_pallas,
+        )
+    )
+    return fn(blocks, ns, present)
+
+
 @partial(
     jax.jit,
     static_argnames=("nseg", "nwords", "mesh", "chunk", "use_pallas"),
@@ -87,17 +106,10 @@ def encode_blocks_sharded(
     """Encode a packed [B, N+260] block batch sharded over ``mesh``
     (B % ndev == 0; row layout per pipeline._unpack_rows — the single
     upload also means each device receives only its own block rows)."""
-    from ..pipeline import _ROW_EXTRA, _unpack_rows
-
-    def shard_fn(rows):
-        blocks, ns, present = _unpack_rows(rows, rows.shape[1] - _ROW_EXTRA)
-        fn = jax.vmap(
-            partial(
-                encode_one_block, nseg=nseg, nwords=nwords, chunk=chunk,
-                use_pallas=use_pallas,
-            )
-        )
-        return fn(blocks, ns, present)
+    shard_fn = partial(
+        encode_batch_rows, nseg=nseg, nwords=nwords, chunk=chunk,
+        use_pallas=use_pallas,
+    )
 
     sharded = jax.shard_map(
         shard_fn,

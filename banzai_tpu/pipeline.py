@@ -96,12 +96,12 @@ def _encode_blocks(
     nwords: int,
     use_pallas: bool = False,
 ):
-    blocks, ns, present = _unpack_rows(packed, packed.shape[1] - _ROW_EXTRA)
-    fn = partial(
-        encode_one_block, nseg=nseg, nwords=nwords, chunk=_CHUNK,
+    from .parallel.dp import encode_batch_rows
+
+    return encode_batch_rows(
+        packed, nseg=nseg, nwords=nwords, chunk=_CHUNK,
         use_pallas=use_pallas,
     )
-    return jax.vmap(fn)(blocks, ns, present)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -152,8 +152,14 @@ def compress_blocks_payloads(
     level: int = 9,
     batch: int | None = None,
     sharded: bool | None = None,
+    blocks=None,
 ) -> list[BlockPayload]:
-    """Encode ``data`` into per-block payloads (device pipeline)."""
+    """Encode ``data`` into per-block payloads (device pipeline).
+
+    ``blocks``: pre-split RLE1 blocks (an iterable of rle1.Rle1Block);
+    when given, ``data`` is ignored and the RLE1 split is not re-run —
+    the streaming ``encode()`` already split the span to find its block
+    boundary."""
     N = _padded_len(level)
     nseg = (N + 1 + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
     nwords = _nwords(N, nseg)
@@ -168,6 +174,10 @@ def compress_blocks_payloads(
         batch = int(os.environ.get("BANZAI_BATCH", "0")) or (
             ndev * 2 if sharded else _DEFAULT_BATCH
         )
+    if sharded and batch % ndev:
+        # shard_map needs B % ndev == 0; round up instead of surfacing a
+        # cryptic sharding error from inside jit.
+        batch = -(-batch // ndev) * ndev
     import time as _time
 
     timing: dict[str, float] | None = (
@@ -274,7 +284,9 @@ def compress_blocks_payloads(
     worker = threading.Thread(target=consumer, daemon=True)
     worker.start()
 
-    block_iter = iter_blocks(data, level)
+    block_iter = iter(blocks) if blocks is not None else (
+        iter_blocks(data, level)
+    )
 
     def produce() -> None:
         while True:

@@ -81,17 +81,17 @@ def encode_report(data: bytes, level: int = 9, backend: str = "numpy") -> Encode
                            p.ptr, p.crc)
             )
     else:
-        import numpy as np
-
         from .bitio import BitWriter
         from .encoder_host import encode_block
 
         for i, blk in enumerate(blocks):
             bw = BitWriter()
-            encode_block(bw, blk.output, blk.crc)
+            ptr, payload_bits = encode_block(bw, blk.output, blk.crc)
+            # Same numbers as the device path (BlockStats contract:
+            # entropy payload bits, real ptr).
             report.blocks.append(
                 BlockStats(i, blk.consumed, len(blk.output),
-                           bw.bit_length, 0, blk.crc)
+                           payload_bits, ptr, blk.crc)
             )
     report.stage_seconds["encode"] = time.perf_counter() - t0
     return report

@@ -28,8 +28,10 @@ def _cpu_flags() -> bytes:
 
 def enable_compile_cache(path: str | None = None) -> None:
     global _done
-    if _done:
-        return
+    if _done and path is None:
+        return                      # idempotent default application
+    # An explicit path always re-applies (the pipeline import runs the
+    # default first; a user's later call must not be silently ignored).
     _done = True
     try:
         import jax

@@ -38,6 +38,8 @@ flags:
       --fast       alias for -1
       --best       alias for -9
   -v, --verbose    per-block statistics to stderr
+  --banzai-compat  reproduce the reference banzai's output byte-exactly
+                   (quirk-exact model; larger and slower than the default)
       --output P   write to P
       --help       this message
       --info       about this program
@@ -60,6 +62,7 @@ class Invocation:
         # None = default policy, True = -k, False = -r (last flag wins).
         self.keep_inf: bool | None = None
         self.verbose = False
+        self.banzai_compat = False
         self.level: int | None = None
 
 
@@ -98,6 +101,8 @@ def parse_args(argv: list[str]) -> Invocation | int:
                 inv.keep_inf = False
             elif name == "verbose":
                 inv.verbose = True
+            elif name == "banzai-compat":
+                inv.banzai_compat = True
             elif name == "fast":
                 inv.level = 1
             elif name == "best":
@@ -228,7 +233,17 @@ def main(argv: list[str] | None = None) -> int:
                 pass
 
     try:
-        encode(_TaggedReader(reader), writer, inv.level, report=report)
+        if inv.banzai_compat:
+            # SURVEY §7's exact-size switch: route through the quirk-exact
+            # reference model (oracle/banzai_model) — byte-identical to
+            # the reference banzai's stream, including its Huffman quirks.
+            from .oracle import banzai_compress
+
+            writer.write(
+                banzai_compress(_TaggedReader(reader).read(), inv.level)
+            )
+        else:
+            encode(_TaggedReader(reader), writer, inv.level, report=report)
         if not close_writer:
             writer.flush()
     except BrokenPipeError:

@@ -137,3 +137,17 @@ def test_cli_verbose_emits_block_stats(tmp_path):
     p = _run(["-v", "-k", "-1", str(src)])
     assert p.returncode == 0, p.stderr
     assert b"block 0:" in p.stderr and b"rle1" in p.stderr
+
+
+def test_banzai_compat_flag(tmp_path, bunzip):
+    """--banzai-compat reproduces the reference model's stream byte-exactly
+    (SURVEY §7's exact-size switch)."""
+    data = b"compat test " * 400
+    p = tmp_path / "in.bin"
+    p.write_bytes(data)
+    r = _run(["-k", "--banzai-compat", "-1", "-c", str(p)])
+    assert r.returncode == 0
+    from banzai_tpu.oracle import banzai_compress
+
+    assert r.stdout == banzai_compress(data, 1)
+    assert bunzip(r.stdout) == data

@@ -103,9 +103,13 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
         return ext, cov * 2
 
     # cov = n * 2^t >= need: one iteration for any n > QMAX + 15, ~20 only
-    # for tiny blocks.
+    # for tiny blocks.  The first iteration is peeled out of the while_loop
+    # (it always runs: need > n), so the common big-block case is one
+    # straight-line update-slice instead of a loop dispatch — a vmapped
+    # while_loop costs ~1.7 ms/block in loop overhead even at one trip.
+    dbl1, cov1 = _extend((dbl0, jnp.maximum(n, 1)))
     dbl, _ = jax.lax.while_loop(
-        lambda st: st[1] < need, _extend, (dbl0, jnp.maximum(n, 1))
+        lambda st: st[1] < need, _extend, (dbl1, cov1)
     )
 
     def byte(off: int) -> jax.Array:
@@ -249,8 +253,12 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # Unresolved lanes (whole groups) move to a narrow buffer holding
     # (position, group-head rank); resolved lanes are killed each round and
     # sort to the back, so the live prefix shrinks monotonically.
+    # Tier rounds re-sort by group head anyway, so the compaction only has
+    # to bring live lanes to the front: a 1-operand key sort, with the
+    # positions recovered by a narrow W1-lane gather from ``order`` —
+    # cheaper than carrying ``order`` as a sort payload through N lanes.
     ckey = jnp.where(multi & valid, idx, _PAD_RANK)
-    ck_s, c_pos_full = _sort((ckey, order), num_keys=1)
+    (ck_s,) = _sort((ckey,), num_keys=1)
 
     _MULTS = 7  # compact rounds *octuple* k: offsets k..7k in one fused
     # gather + one 8-key sort — coverage per round doubles vs quadrupling
@@ -323,10 +331,15 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
 
         return tier_body
 
-    # Tier 1 (W1): enter from the full-width state.  Group-head ranks are
-    # recovered with one narrow gather (rank[c_pos]).
-    c_pos1 = c_pos_full[:W1]
-    lane_live1 = ck_s[:W1] < _PAD_RANK
+    # Tier 1 (W1): enter from the full-width state.  Positions and
+    # group-head ranks are recovered with two narrow gathers
+    # (order[c_slot], rank[c_pos]).
+    c_slot1 = ck_s[:W1]
+    lane_live1 = c_slot1 < _PAD_RANK
+    ext_o = jnp.concatenate([order, jnp.zeros(1, jnp.int32)])
+    c_pos1 = jnp.where(
+        lane_live1, ext_o[jnp.where(lane_live1, c_slot1, N)], 0
+    )
     ext_r = jnp.concatenate([rank, jnp.full(1, _PAD_RANK, jnp.int32)])
     c_head1 = jnp.where(
         lane_live1, ext_r[jnp.where(lane_live1, c_pos1, N)], _PAD_RANK
@@ -362,13 +375,13 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # tie order is harmless; ptr may point at any row of rotation 0's tie
     # group (all rows are identical strings).
     # prev_byte[i] = b[(i + n - 1) mod n] = dbl[i + n - 1] (coverage >= 2n-1).
-    prev_byte = jnp.where(
-        valid,
-        jax.lax.dynamic_slice(dbl, (jnp.maximum(n - 1, 0),), (N,)),
-        _PAD_RANK,
-    )
-    _, bwt_sorted = _sort((rank, prev_byte), num_keys=1)
-    bwt = bwt_sorted.astype(jnp.uint8)
+    # The byte rides the low 8 bits of the rank key (valid ranks < n < 2^20,
+    # so rank<<8 stays within int32), making this a 1-operand sort; pad
+    # lanes sort last under a small sentinel with zero byte bits.
+    prev_byte = jax.lax.dynamic_slice(dbl, (jnp.maximum(n - 1, 0),), (N,))
+    packed_rb = jnp.where(valid, (rank << 8) | prev_byte, _PAD_RANK)
+    (rb_sorted,) = _sort((packed_rb,), num_keys=1)
+    bwt = (rb_sorted & 0xFF).astype(jnp.uint8)
     ptr = jnp.sum(((rank < rank[0]) & valid).astype(jnp.int32))
     return bwt, ptr
 

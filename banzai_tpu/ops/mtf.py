@@ -70,11 +70,17 @@ def mtf_indices_device(
 
     # Chunk-initial recency lists: symbols by last-occurrence descending,
     # then never-seen present bytes ascending, absent bytes at the tail.
-    sym_ids = jnp.broadcast_to(jnp.arange(_S, dtype=jnp.int32), (C, _S))
-    absent = jnp.broadcast_to(
-        (~present).astype(jnp.int32), (C, _S)
+    # The three sort fields pack into ONE key — (N - before) needs 21
+    # bits (before in [-1, N), N < 2^20), absent 1, symbol id 8 — so the
+    # [C, 256] sort runs with a single operand, and state0 is the low
+    # byte of the sorted keys.
+    sym_ids = jnp.arange(_S, dtype=jnp.int32)[None, :]
+    absent = (~present).astype(jnp.int32)[None, :]
+    key = (
+        ((N - before) << 9) | (absent << 8) | sym_ids
     )
-    _, _, state0 = jax.lax.sort((-before, absent, sym_ids), num_keys=3)
+    (key_s,) = jax.lax.sort((key,), num_keys=1)
+    state0 = key_s & 0xFF
 
     syms_p = syms.reshape(C, chunk)
 

@@ -43,6 +43,7 @@ from .utils import enable_compile_cache
 
 enable_compile_cache()
 
+_K_SEED: dict = {}    # (level, N) -> last run's k_recent window
 _CHUNK = 64           # MTF chunk length (sequential depth per chunk)
 _DEFAULT_BATCH = 8    # blocks per device batch.  16 would amortize the
 # ~50 ms/call relay latency further, but its [16, N] compile has twice
@@ -201,8 +202,12 @@ def compress_blocks_payloads(
     # size of the last few batches (not an all-time max, so one
     # incompressible stretch can't permanently inflate every later fetch).
     # A shrink that undershoots costs one refetch round trip, then the
-    # window re-adapts.
-    k_recent: list[int] = [256, 256, 256]
+    # window re-adapts.  The window is seeded from the last run at this
+    # (level, N) — a fresh call would otherwise always start at 256 and
+    # pay a guaranteed refetch round trip on its first batch.
+    k_recent: list[int] = list(
+        _K_SEED.get((level, N), (256, 256, 256))
+    )
 
     def _k_now() -> int:
         return min(max(max(k_recent), 256), nwords)
@@ -366,6 +371,7 @@ def compress_blocks_payloads(
         worker.join()
     if drain_exc:
         raise drain_exc[0]
+    _K_SEED[(level, N)] = tuple(k_recent)
     if timing is not None:
         import sys
 

@@ -91,6 +91,17 @@ def _pool_block(output):
     return ptr, present, pbw.close(), pbw.bit_length
 
 
+def hybrid_block(output):
+    """Spawn-pool worker for the hybrid host+device scheduler
+    (pipeline.compress_blocks_payloads): one RLE1 block -> payload words.
+    Lives here — not in pipeline.py — so spawn workers unpickling it by
+    import path never import JAX."""
+    ptr, present, raw, nbits = _pool_block(output)
+    raw = raw + b"\x00" * (-len(raw) % 4)
+    words = np.frombuffer(raw, dtype=">u4").astype(np.uint32)
+    return ptr, present, words, nbits
+
+
 def block_plan(rle1_out: np.ndarray):
     """The five-stage host pipeline for one block: (ptr, present, syms,
     plan).  The ONE implementation shared by the host backend and the

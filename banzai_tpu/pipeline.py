@@ -148,19 +148,72 @@ def _host_payload(blk) -> BlockPayload:
     )
 
 
+# ---- Hybrid host+device scheduling -----------------------------------------
+# Opt-in (BANZAI_HYBRID_JOBS=J or hybrid_jobs=J): while the device chews
+# its batches, J spawn-context worker processes encode stolen blocks with
+# the byte-identical host backend (encoder_host.block_plan — the same code
+# the device-failure fallback uses), so otherwise-idle host cores add
+# throughput.  Workers are spawned (never forked: the parent holds XLA
+# threads) and touch only NumPy + the native kernels.  The bench stays
+# pure-TPU; this is a deployment knob.
+
+_HYBRID_POOL = None
+_HYBRID_POOL_JOBS = 0
+
+
+def _hybrid_pool(jobs: int):
+    global _HYBRID_POOL, _HYBRID_POOL_JOBS
+    if _HYBRID_POOL is None or _HYBRID_POOL_JOBS != jobs:
+        import multiprocessing as mp
+
+        if _HYBRID_POOL is not None:
+            _HYBRID_POOL.terminate()
+        # Spawn workers inherit os.environ at exec time, and this image's
+        # sitecustomize claims the accelerator in EVERY interpreter whose
+        # env requests it — a worker would then fight the parent for the
+        # chip and hang.  Scrub the accelerator env for the workers (they
+        # are NumPy-only) and restore it right after the spawns.
+        import os
+
+        saved = {
+            k: os.environ.pop(k, None)
+            for k in ("PALLAS_AXON_POOL_IPS",)
+        }
+        prev_plat = os.environ.get("JAX_PLATFORMS")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            _HYBRID_POOL = mp.get_context("spawn").Pool(jobs)
+        finally:
+            for k, v in saved.items():
+                if v is not None:
+                    os.environ[k] = v
+            if prev_plat is None:
+                os.environ.pop("JAX_PLATFORMS", None)
+            else:
+                os.environ["JAX_PLATFORMS"] = prev_plat
+        _HYBRID_POOL_JOBS = jobs
+    return _HYBRID_POOL
+
+
 def compress_blocks_payloads(
     data: bytes,
     level: int = 9,
     batch: int | None = None,
     sharded: bool | None = None,
     blocks=None,
+    hybrid_jobs: int | None = None,
 ) -> list[BlockPayload]:
     """Encode ``data`` into per-block payloads (device pipeline).
 
     ``blocks``: pre-split RLE1 blocks (an iterable of rle1.Rle1Block);
     when given, ``data`` is ignored and the RLE1 split is not re-run —
     the streaming ``encode()`` already split the span to find its block
-    boundary."""
+    boundary.
+
+    ``hybrid_jobs`` (default BANZAI_HYBRID_JOBS, else 0): host worker
+    processes that encode stolen blocks concurrently with the device —
+    byte-identical output at any job count (the ordered stitch is the
+    only shared state)."""
     N = _padded_len(level)
     nseg = (N + 1 + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
     nwords = _nwords(N, nseg)
@@ -197,7 +250,12 @@ def compress_blocks_payloads(
                     timing.get(name, 0.0) + _time.perf_counter() - t0
                 )
 
-    payloads: list[BlockPayload] = []
+    if hybrid_jobs is None:
+        hybrid_jobs = int(os.environ.get("BANZAI_HYBRID_JOBS", "0"))
+    pool = _hybrid_pool(hybrid_jobs) if hybrid_jobs > 0 else None
+    host_jobs: list = []          # (seq, blk, AsyncResult)
+
+    results: dict[int, BlockPayload] = {}
     # Adaptive word-fetch bucket: fetch width follows the max compressed
     # size of the last few batches (not an all-time max, so one
     # incompressible stretch can't permanently inflate every later fetch).
@@ -213,7 +271,7 @@ def compress_blocks_payloads(
         return min(max(max(k_recent), 256), nwords)
 
     def drain_one(item) -> None:
-        group, pres_h, dev = item
+        group, pres_h, dev = item            # group: list of (seq, blk)
         try:
             words_d, nbits_d, ptrs_d, packed_d = dev
             B = nbits_d.shape[0]
@@ -241,24 +299,22 @@ def compress_blocks_payloads(
                 f"device batch failed ({type(e).__name__}: {e}); "
                 f"re-encoding {len(group)} block(s) on host"
             )
-            for blk in group:
-                payloads.append(_host_payload(blk))
+            for seq, blk in group:
+                results[seq] = _host_payload(blk)
             return
-        for i, blk in enumerate(group):
+        for i, (seq, blk) in enumerate(group):
             if int(nbits[i]) > nwords * 32:
                 # Entropy payload exceeded the 9.25-bit/symbol capacity
                 # bound (theoretically unreachable — see _nwords); the
                 # device words are truncated, so re-encode on host.
-                payloads.append(_host_payload(blk))
+                results[seq] = _host_payload(blk)
                 continue
-            payloads.append(
-                BlockPayload(
-                    crc=blk.crc,
-                    ptr=int(ptrs[i]),
-                    present=pres_h[i],
-                    words=words[i],
-                    nbits=int(nbits[i]),
-                )
+            results[seq] = BlockPayload(
+                crc=blk.crc,
+                ptr=int(ptrs[i]),
+                present=pres_h[i],
+                words=words[i],
+                nbits=int(nbits[i]),
             )
 
     import itertools
@@ -292,11 +348,33 @@ def compress_blocks_payloads(
     block_iter = iter(blocks) if blocks is not None else (
         iter_blocks(data, level)
     )
+    seq_counter = itertools.count()
+
+    def device_stream():
+        """Sequence-tagged blocks bound for the device; idle host workers
+        steal blocks in between (hybrid scheduling)."""
+        for blk in block_iter:
+            seq = next(seq_counter)
+            if pool is not None:
+                active = sum(1 for h in host_jobs if not h[2].ready())
+                if active < hybrid_jobs:
+                    from .encoder_host import hybrid_block
+
+                    host_jobs.append(
+                        (seq, blk, pool.apply_async(
+                            hybrid_block,
+                            (np.ascontiguousarray(blk.output),),
+                        ))
+                    )
+                    continue
+            yield seq, blk
+
+    tagged_iter = device_stream()
 
     def produce() -> None:
         while True:
             t0 = _time.perf_counter()
-            group = list(itertools.islice(block_iter, batch))
+            group = list(itertools.islice(tagged_iter, batch))
             _t("rle1_iter", t0)
             if not group:
                 break
@@ -313,7 +391,7 @@ def compress_blocks_payloads(
             arr[:, N + 256] = 1                      # present, length 1
             pres = np.zeros((tgt, 256), bool)
             pres[:, 0] = True
-            for i, blk in enumerate(group):
+            for i, (_seq, blk) in enumerate(group):
                 nb = len(blk.output)
                 arr[i, :nb] = blk.output
                 p = np.bincount(blk.output, minlength=256) > 0
@@ -372,12 +450,29 @@ def compress_blocks_payloads(
     if drain_exc:
         raise drain_exc[0]
     _K_SEED[(level, N)] = tuple(k_recent)
+    for seq, blk, ar in host_jobs:
+        try:
+            # Bounded get: a worker lost mid-task would otherwise leave
+            # this AsyncResult pending forever.
+            ptr, present, words, nb = ar.get(timeout=300)
+            results[seq] = BlockPayload(
+                crc=blk.crc, ptr=ptr, present=present,
+                words=words, nbits=nb,
+            )
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"hybrid host worker failed ({type(e).__name__}: {e}); "
+                "re-encoding the block inline"
+            )
+            results[seq] = _host_payload(blk)
     if timing is not None:
         import sys
 
         print("pipeline timing:", {k: round(v, 3) for k, v in
                                     sorted(timing.items())}, file=sys.stderr)
-    return payloads
+    return [results[i] for i in range(len(results))]
 
 
 def compress(
@@ -385,12 +480,15 @@ def compress(
     level: int = 9,
     batch: int | None = None,
     sharded: bool | None = None,
+    hybrid_jobs: int | None = None,
 ) -> bytes:
     """Encode ``data`` on the device pipeline into a .bz2 stream."""
     bw = BitWriter()
     write_stream_header(bw, level)
     stream_crc = 0
-    for p in compress_blocks_payloads(data, level, batch, sharded):
+    for p in compress_blocks_payloads(
+        data, level, batch, sharded, hybrid_jobs=hybrid_jobs
+    ):
         stream_crc = combine_stream_crc(stream_crc, p.crc)
         p.write(bw)
     write_stream_footer(bw, stream_crc)

@@ -82,3 +82,19 @@ def test_spanwise_encode_matches_single(bunzip):
     stitched = bw.close()
     assert stitched == single
     assert bunzip(stitched) == data
+
+
+def test_hybrid_host_device_byte_identical(bunzip):
+    """Hybrid scheduling (spawn-pool host workers stealing blocks from the
+    device stream) must produce the exact same .bz2 stream as pure-device
+    encode — the ordered stitch is the only shared state."""
+    from banzai_tpu.pipeline import compress
+
+    rng = random.Random(7)
+    data = bytes(
+        rng.choice(b"abcdefgh \n") for _ in range(300_000)
+    ) + b"run" * 40_000 + bytes(rng.randrange(256) for _ in range(120_000))
+    pure = compress(data, 1)
+    hybrid = compress(data, 1, hybrid_jobs=2)
+    assert hybrid == pure
+    assert bunzip(hybrid) == data

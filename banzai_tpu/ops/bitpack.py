@@ -55,7 +55,9 @@ def pack_entries(
     vals: jax.Array, lens: jax.Array, nwords: int
 ) -> tuple[jax.Array, jax.Array]:
     """Scatter (value, bit-length) entries MSB-first into uint32 words."""
-    lens = lens.astype(jnp.int32)
+    # Sentinel entry: receives the last real entry's spill (see hi2).
+    lens = jnp.concatenate([lens.astype(jnp.int32), jnp.zeros(1, jnp.int32)])
+    vals = jnp.concatenate([vals.astype(jnp.uint32), jnp.zeros(1, jnp.uint32)])
     lens_u = lens.astype(jnp.uint32)
     v = vals.astype(jnp.uint32) & jnp.where(
         lens >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << lens_u) - 1
@@ -79,40 +81,38 @@ def pack_entries(
         jnp.uint32(0),
         v << (((64 - b - lens) & 31).astype(jnp.uint32)),
     )
+    # An entry's spill (lo) lands in word w+1 — and the NEXT entry always
+    # starts in exactly that word (off is contiguous: b+len > 32 implies
+    # w_next == w+1 even for zero-length followers), occupying bits
+    # strictly below the spill.  So each lo OR-folds into the successor's
+    # hi (disjoint fields; the appended sentinel catches the last spill),
+    # and the whole word assembly needs ONE contribution stream.
+    hi2 = hi | jnp.concatenate([jnp.zeros(1, jnp.uint32), lo[:-1]])
     # Word assembly without scatters: contributions to a word are a
     # contiguous run of entries (w is sorted), and OR == ADD for disjoint
     # bit fields, so word x is a difference of wrapping prefix sums over
     # "entries with w <= x".  Those prefixes fall out of a *merge*: one
     # sort interleaves entries (key 2w) with word queries (key 2x+1), a
-    # cumsum over the merged hi/lo lands each query lane exactly on its
+    # cumsum over the merged hi2 lands each query lane exactly on its
     # prefix, and a second sort compacts the query lanes back out.  Two
-    # 3-op sorts + two cumsums beat the scatter-max + cummax + gathers
-    # they replace by ~3ms/block on this chip (see tools/microbench.py).
+    # 2-op sorts + one cumsum beat the scatter-max + cummax + gathers
+    # they replace by ~5ms/block on this chip (see tools/microbench.py).
     E = lens.shape[0]
     Q = nwords + 1
     e_key = 2 * jnp.minimum(w, nwords)
     q_key = 2 * jnp.arange(Q, dtype=jnp.int32) + 1
     keys = jnp.concatenate([e_key, q_key])
     his = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(hi, jnp.int32), jnp.zeros(Q, jnp.int32)]
+        [jax.lax.bitcast_convert_type(hi2, jnp.int32), jnp.zeros(Q, jnp.int32)]
     )
-    los = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(lo, jnp.int32), jnp.zeros(Q, jnp.int32)]
-    )
-    k_s, hi_s, lo_s = jax.lax.sort((keys, his, los), num_keys=1,
-                                   is_stable=False)
+    k_s, hi_s = jax.lax.sort((keys, his), num_keys=1, is_stable=False)
     s_hi = jnp.cumsum(hi_s)     # int32 wrap == mod-2^32, exact for OR==ADD
-    s_lo = jnp.cumsum(lo_s)
     is_q = (k_s & 1) == 1
     qx = jnp.where(is_q, k_s >> 1, jnp.int32(2 * nwords + 4))
-    _, g_hi, g_lo = jax.lax.sort((qx, s_hi, s_lo), num_keys=1,
-                                 is_stable=False)
+    _, g_hi = jax.lax.sort((qx, s_hi), num_keys=1, is_stable=False)
     g_hi = g_hi[:Q]
-    g_lo = g_lo[:Q]
     g_hi_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), g_hi[:-1]])
-    g_lo_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), g_lo[:-1]])
-    g_lo_prev2 = jnp.concatenate([jnp.zeros(2, jnp.int32), g_lo[:-2]])
-    words = (g_hi - g_hi_prev) + (g_lo_prev - g_lo_prev2)
+    words = g_hi - g_hi_prev
     return (
         jax.lax.bitcast_convert_type(words[:nwords], jnp.uint32),
         total,

@@ -28,6 +28,7 @@ import numpy as np
 
 _MAX_DIGITS = 20  # zero runs < 2^20 (block <= 900_000)
 _BIG = np.int32(1 << 26)  # > any merge key (2*(M+1) < 2^22); np: no device put at import
+_PAD2 = np.int32(1 << 30)  # > any packed slot key ((j_slot << 9) < 2^29)
 
 
 def rle2_device(
@@ -108,26 +109,22 @@ def rle2_device(
     j_slot = k_s >> 1
     d = jnp.clip(j_slot - off_f, 0, _MAX_DIGITS)
     digit = (zp1_f >> d) & 1
-    # Compact slot lanes back to a dense stream; (off, val, digit) travel
-    # as one packed payload so symbol-slot detection can run densely.
-    ext_p = (off_f << 10) | (val_f << 1) | digit
-    # _BIG is even, so pad lanes (k_s >= _BIG) are already is_entry.
-    s_key = jnp.where(is_entry, _BIG, j_slot)
-    d_key, d_pay = jax.lax.sort((s_key, ext_p), num_keys=1, is_stable=False)
-    d_pay = d_pay[:M]
-
-    off_d = d_pay >> 10
-    digit_d = d_pay & 1
-    val_d = (d_pay >> 1) & 0x1FF
-    # The symbol occupies an entry's last slot: the next slot starts a new
-    # entry or the stream ends.
-    nxt_new = jnp.concatenate(
-        [off_d[1:] != off_d[:-1], jnp.ones(1, bool)]
-    )
-    is_sym_slot = nxt_new | (pos == out_len - 1)
-    syms = jnp.where(is_sym_slot, val_d, digit_d)
+    # Symbol-slot detection in place: an entry spans nd digit slots then
+    # its symbol, so slot d == nd (== bitlength(zp1)-1) is the symbol.
+    # Resolving it BEFORE compaction lets the per-slot value (<= 9 bits:
+    # val <= 257) ride inside the compaction key, making the second
+    # 2M-lane sort single-operand.
+    nd_f = jnp.zeros_like(zp1_f)
+    for k in range(1, _MAX_DIGITS + 1):
+        nd_f = nd_f + (zp1_f >= (1 << k)).astype(jnp.int32)
+    slot_val = jnp.where(d == nd_f, val_f, digit)
+    # Slot keys reach (M << 9) < 2^29, so entry/pad lanes need a larger
+    # sentinel than the merge sort's _BIG; keys are unique (distinct
+    # j_slot).
+    s_key = jnp.where(is_entry, _PAD2, (j_slot << 9) | slot_val)
+    (d_key,) = jax.lax.sort((s_key,), num_keys=1, is_stable=False)
     live = pos < out_len
-    syms = jnp.where(live, syms, 258)
+    syms = jnp.where(live, d_key[:M] & 0x1FF, 258)
 
     if with_freqs:
         freqs = (

@@ -110,11 +110,15 @@ def main() -> None:
 
     # Warm up on the full corpus so the timed run reuses every compiled
     # [batch, N] shape it will hit (the pow-2 tail ladder means the tail
-    # batch can have its own shape).
+    # batch can have its own shape).  Best of two timed runs — the same
+    # rule the bzip2 baseline gets above (shared-host tenancy swings
+    # single runs by hundreds of ms on both sides).
     compress(corpus, level)
-    t0 = time.time()
-    out = compress(corpus, level)
-    encode_s = time.time() - t0
+    encode_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        out = compress(corpus, level)
+        encode_s = min(encode_s, time.time() - t0)
     mbps = mb / encode_s
 
     # Correctness gates: bit-exact decode, and the north-star size contract

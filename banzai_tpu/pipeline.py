@@ -45,9 +45,21 @@ enable_compile_cache()
 
 _K_SEED: dict = {}    # (level, N) -> last run's k_recent window
 _CHUNK = 64           # MTF chunk length (sequential depth per chunk)
-_DEFAULT_BATCH = 8    # blocks per device batch.  16 would amortize the
-# ~50 ms/call relay latency further, but its [16, N] compile has twice
-# hung the remote compile service; revisit when measurable.
+_DEFAULT_BATCH = 8    # blocks per device batch at level >= 5.  16 at
+# level 9 measured SLOWER (vmapped while_loops run max iterations across
+# the batch — stragglers); small-block levels amortize fixed per-batch
+# costs over more blocks instead (see _batch_for_level).
+
+
+def _batch_for_level(level: int) -> int:
+    """Default device batch: small blocks need bigger batches to amortize
+    the ~50 ms/call relay latency and per-batch host costs.  Measured at
+    level 1 on-chip: batch 64 = 13.8 MB/s vs batch 8 = 7.6-9."""
+    if level <= 2:
+        return 64
+    if level <= 4:
+        return 32
+    return _DEFAULT_BATCH
 _INFLIGHT = 3         # batches dispatched ahead of the host drain
 
 
@@ -161,6 +173,16 @@ _HYBRID_POOL = None
 _HYBRID_POOL_JOBS = 0
 
 
+def _shutdown_hybrid_pool() -> None:
+    """atexit: tear the worker pool down while the interpreter is whole —
+    GC-time teardown races module clearing inside the queue feeder."""
+    global _HYBRID_POOL
+    if _HYBRID_POOL is not None:
+        _HYBRID_POOL.terminate()
+        _HYBRID_POOL.join()
+        _HYBRID_POOL = None
+
+
 def _hybrid_pool(jobs: int):
     global _HYBRID_POOL, _HYBRID_POOL_JOBS
     if _HYBRID_POOL is None or _HYBRID_POOL_JOBS != jobs:
@@ -183,6 +205,10 @@ def _hybrid_pool(jobs: int):
         os.environ["JAX_PLATFORMS"] = "cpu"
         try:
             _HYBRID_POOL = mp.get_context("spawn").Pool(jobs)
+            if _HYBRID_POOL_JOBS == 0:       # first pool this process
+                import atexit
+
+                atexit.register(_shutdown_hybrid_pool)
         finally:
             for k, v in saved.items():
                 if v is not None:
@@ -226,7 +252,7 @@ def compress_blocks_payloads(
     mesh = block_mesh() if sharded else None
     if batch is None:
         batch = int(os.environ.get("BANZAI_BATCH", "0")) or (
-            ndev * 2 if sharded else _DEFAULT_BATCH
+            ndev * 2 if sharded else _batch_for_level(level)
         )
     if sharded and batch % ndev:
         # shard_map needs B % ndev == 0; round up instead of surfacing a

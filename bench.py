@@ -144,7 +144,8 @@ def main() -> None:
     # blocks — 9x the block count, 1/9th the sort depth per block.
     lvl1_mbps = 0.0
     try:
-        compress(corpus[:2_000_000], 1)      # warm level-1 shapes
+        compress(corpus, 1)      # warm level-1 shapes (a 2MB slice missed
+        # the full corpus's [64]/[16] tail-batch shapes and timed compiles)
         t0 = time.time()
         out1 = compress(corpus, 1)
         lvl1_mbps = mb / (time.time() - t0)

@@ -194,9 +194,20 @@ class EntropyPlan:
 
 
 def plan_entropy(
-    syms: np.ndarray, num_syms: int, freqs: np.ndarray
+    syms: np.ndarray, num_syms: int, freqs: np.ndarray,
+    include_banzai: bool = False,
 ) -> EntropyPlan:
-    """Pick the cheapest candidate across table counts."""
+    """Pick the cheapest candidate across table counts.
+
+    ``include_banzai`` adds the reference's quirk-exact plan as one more
+    candidate.  On degenerate blocks, banzai's heap trees can land a
+    delta-coding-cheaper length assignment than the payload-optimal
+    package-merge tree (Huffman trees are not unique), and the north-star
+    size contract is "<= banzai on EVERY input".  Only the tiny-block
+    host paths enable it (encoder_host.block_plan) — the device planner
+    has no banzai candidate, and host/device twins must stay
+    bit-identical on every block the device encodes.
+    """
     hist = segment_histogram(syms, num_syms)
     candidates: list[EntropyPlan] = []
 
@@ -228,6 +239,25 @@ def plan_entropy(
             + payload_bits(hist, tables, selectors)
         )
         candidates.append(EntropyPlan(nt, tables, selectors, bits))
+
+    if include_banzai:
+        from .oracle.banzai_model import banzai_entropy_plan
+
+        bnt, btab, bsel = banzai_entropy_plan(
+            np.asarray(syms, dtype=np.int64), num_syms, freqs
+        )
+        bt = np.asarray(btab, dtype=np.uint8)
+        bs = np.asarray(bsel, dtype=np.int64)
+        # Appended LAST: our candidates win ties, so existing streams only
+        # change where banzai's plan is strictly smaller.
+        candidates.append(
+            EntropyPlan(
+                bnt, bt, bs,
+                selector_bits(bs, bnt)
+                + table_delta_bits(bt)
+                + payload_bits(hist, bt, bs),
+            )
+        )
 
     return min(candidates, key=lambda c: c.total_bits)
 

@@ -173,7 +173,16 @@ def write_table_deltas(bw: BitWriter, table) -> None:
 
 # --- The quirky refinement driver -----------------------------------------
 
-def _banzai_huffman(bw: BitWriter, syms: list[int], num_syms: int, freqs) -> None:
+def banzai_entropy_plan(syms, num_syms: int, freqs):
+    """The reference's entropy PLAN — (num_tables, tables, selectors) with
+    all three verified quirks — without emission.  Besides feeding this
+    model's own encoder, it serves as an extra candidate in the production
+    planner's tiny-block guard (huffman_host.plan_entropy): banzai's heap
+    trees occasionally land a delta-coding-cheaper length assignment than
+    the payload-optimal package-merge tree on degenerate blocks (found by
+    fuzz seed 33 iter 145: 29 RLE1 bytes, ours 51 > banzai 50), and the
+    north star requires output <= banzai on EVERY input.
+    """
     input_size = len(syms)
     num_tables = 2 if num_syms < 200 else 3   # QUIRK #1: keyed on alphabet
 
@@ -233,6 +242,12 @@ def _banzai_huffman(bw: BitWriter, syms: list[int], num_syms: int, freqs) -> Non
         tables = [
             banzai_code_lengths(num_syms, table_freqs[t]) for t in range(num_tables)
         ]
+    return num_tables, tables, selectors
+
+
+def _banzai_huffman(bw: BitWriter, syms: list[int], num_syms: int, freqs) -> None:
+    num_tables, tables, selectors = banzai_entropy_plan(syms, num_syms, freqs)
+    sym_arr = np.asarray(syms, dtype=np.int64)
 
     # Emission (lib/huffman.rs:462-574).
     bw.write_bits(num_tables, 3)

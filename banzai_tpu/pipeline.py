@@ -33,6 +33,7 @@ import numpy as np
 
 from .bitio import BitWriter
 from .constants import SEGMENT_WIDTH, block_capacity
+from .encoder_host import TINY_BLOCK as _TINY_BLOCK
 from .container import write_stream_footer, write_stream_header
 from .crc32 import combine_stream_crc
 from .ops.bitpack import S
@@ -381,6 +382,12 @@ def compress_blocks_payloads(
         steal blocks in between (hybrid scheduling)."""
         for blk in block_iter:
             seq = next(seq_counter)
+            if len(blk.output) <= _TINY_BLOCK:
+                # Tiny blocks (only a stream's final block can be one) go
+                # to the host: block_plan's banzai-candidate guard runs
+                # there, and every backend stays byte-identical.
+                results[seq] = _host_payload(blk)
+                continue
             if pool is not None:
                 active = sum(1 for h in host_jobs if not h[2].ready())
                 if active < hybrid_jobs:

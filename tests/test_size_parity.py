@@ -77,3 +77,38 @@ def test_size_le_banzai_all_levels(level, bunzip):
         assert len(ours) <= len(theirs), (
             f"{name} level {level}: ours {len(ours)} > banzai {len(theirs)}"
         )
+
+
+def test_fuzz_s33_145_tiny_block_heap_tree(bunzip):
+    """fuzz seed 33 iter 145: on a 29-RLE1-byte block, banzai's heap tree
+    beat the payload-optimal package-merge tree by 1 byte via cheaper
+    delta coding (Huffman trees are not unique).  The tiny-block guard
+    (encoder_host.TINY_BLOCK) adds the quirk-exact banzai plan as a
+    candidate, restoring the <=-banzai contract."""
+    import base64
+    import zlib
+
+    data = zlib.decompress(
+        base64.b64decode(b"eNpjZBwFIxYwsY9wwMzMPgrYAV+TECI=")
+    )
+    assert len(data) == 1028
+    ours = host_compress(data, 1)
+    assert bunzip(ours) == data
+    assert len(ours) <= len(banzai_compress(data, 1))
+
+
+def test_tiny_block_guard_device_matches_host(bunzip):
+    """Tiny blocks are diverted to the guarded host path on every backend,
+    so jax-backend output == numpy-backend output byte-for-byte."""
+    import base64
+    import zlib
+
+    from banzai_tpu import compress as be_compress
+
+    data = zlib.decompress(
+        base64.b64decode(b"eNpjZBwFIxYwsY9wwMzMPgrYAV+TECI=")
+    )
+    a = be_compress(data, 1, backend="numpy")
+    b = be_compress(data, 1, backend="jax")
+    assert a == b
+    assert bunzip(a) == data

@@ -146,9 +146,12 @@ def main() -> None:
     try:
         compress(corpus, 1)      # warm level-1 shapes (a 2MB slice missed
         # the full corpus's [64]/[16] tail-batch shapes and timed compiles)
-        t0 = time.time()
-        out1 = compress(corpus, 1)
-        lvl1_mbps = mb / (time.time() - t0)
+        lvl1_s = float("inf")
+        for _ in range(2):       # best-of-two, same rule as level 9
+            t0 = time.time()
+            out1 = compress(corpus, 1)
+            lvl1_s = min(lvl1_s, time.time() - t0)
+        lvl1_mbps = mb / lvl1_s
         d1 = subprocess.run(["bzip2", "-d"], input=out1, capture_output=True)
         assert d1.returncode == 0 and d1.stdout == corpus, "level-1 roundtrip"
     except Exception as e:

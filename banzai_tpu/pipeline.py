@@ -61,6 +61,8 @@ def _batch_for_level(level: int) -> int:
     if level <= 4:
         return 32
     return _DEFAULT_BATCH
+
+
 _INFLIGHT = 3         # batches dispatched ahead of the host drain
 
 

@@ -36,3 +36,17 @@ def test_encode_report_stats():
     assert all(b.payload_bits > 0 for b in rep.blocks)
     assert "rle1+split" in rep.stage_seconds
     assert rep.summary()
+
+
+def test_streaming_hybrid_byte_identical(bunzip, monkeypatch):
+    """Streaming encode with hybrid workers enabled (env knob) emits the
+    same stream as without: stealing + sequence-id stitch are invisible."""
+    data = (b"streaming hybrid " * 20_000) + bytes(range(256)) * 400
+    r, w = io.BytesIO(data), io.BytesIO()
+    banzai_tpu.encode(r, w, level=1, backend="jax", span_bytes=300_000)
+    base = w.getvalue()
+    monkeypatch.setenv("BANZAI_HYBRID_JOBS", "2")
+    r, w = io.BytesIO(data), io.BytesIO()
+    banzai_tpu.encode(r, w, level=1, backend="jax", span_bytes=300_000)
+    assert w.getvalue() == base
+    assert bunzip(base) == data

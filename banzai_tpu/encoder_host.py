@@ -42,15 +42,16 @@ def compress(data: bytes, level: int = 9, jobs: int | None = None) -> bytes:
     independent; output is byte-identical at any job count since the
     ordered stitch is the only shared state — the host analog of the
     device pipeline's block-DP axis).  Default: BANZAI_HOST_JOBS, else
-    all cores when jax is NOT loaded in this process (forking an
-    XLA-threaded parent is unsafe), else 1.
+    all cores.  Workers are SPAWNED, never forked — the parent may hold
+    XLA runtime threads, and forking a multithreaded process deadlocks —
+    with the accelerator env scrubbed (utils.spawn_pool) so NumPy-only
+    workers never claim the chip.
     """
     import os
-    import sys
 
     if jobs is None:
         jobs = int(os.environ.get("BANZAI_HOST_JOBS", "0")) or (
-            (os.cpu_count() or 1) if "jax" not in sys.modules else 1
+            os.cpu_count() or 1
         )
 
     bw = BitWriter()
@@ -59,12 +60,12 @@ def compress(data: bytes, level: int = 9, jobs: int | None = None) -> bytes:
     blocks = iter_blocks(data, level)
     if jobs > 1:
         import itertools
-        import multiprocessing as mp
+
+        from .utils import spawn_pool
 
         head = list(itertools.islice(blocks, 3))
         if len(head) >= 3:                    # enough work for a pool
-            ctx = mp.get_context("fork")
-            with ctx.Pool(jobs) as pool:
+            with spawn_pool(jobs) as pool:
                 crcs = []
 
                 def _outputs():
@@ -94,7 +95,8 @@ def compress(data: bytes, level: int = 9, jobs: int | None = None) -> bytes:
 
 def _pool_block(output):
     """Worker: one block -> (ptr, present, entropy payload bytes, nbits).
-    Touches only NumPy + the native kernels (fork-safe)."""
+    Touches only NumPy + the native kernels; this module's import chain
+    is jax-free, so spawn workers resolving it by path stay CPU-only."""
     ptr, present, syms, plan = block_plan(output)
     pbw = BitWriter()
     write_entropy(pbw, syms, plan)

@@ -189,37 +189,17 @@ def _shutdown_hybrid_pool() -> None:
 def _hybrid_pool(jobs: int):
     global _HYBRID_POOL, _HYBRID_POOL_JOBS
     if _HYBRID_POOL is None or _HYBRID_POOL_JOBS != jobs:
-        import multiprocessing as mp
-
         if _HYBRID_POOL is not None:
             _HYBRID_POOL.terminate()
-        # Spawn workers inherit os.environ at exec time, and this image's
-        # sitecustomize claims the accelerator in EVERY interpreter whose
-        # env requests it — a worker would then fight the parent for the
-        # chip and hang.  Scrub the accelerator env for the workers (they
-        # are NumPy-only) and restore it right after the spawns.
-        import os
+        # Workers are NumPy-only: spawn them with the accelerator env
+        # scrubbed (utils.spawn_pool scopes + serializes the env window).
+        from .utils import spawn_pool
 
-        saved = {
-            k: os.environ.pop(k, None)
-            for k in ("PALLAS_AXON_POOL_IPS",)
-        }
-        prev_plat = os.environ.get("JAX_PLATFORMS")
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        try:
-            _HYBRID_POOL = mp.get_context("spawn").Pool(jobs)
-            if _HYBRID_POOL_JOBS == 0:       # first pool this process
-                import atexit
+        _HYBRID_POOL = spawn_pool(jobs)
+        if _HYBRID_POOL_JOBS == 0:       # first pool this process
+            import atexit
 
-                atexit.register(_shutdown_hybrid_pool)
-        finally:
-            for k, v in saved.items():
-                if v is not None:
-                    os.environ[k] = v
-            if prev_plat is None:
-                os.environ.pop("JAX_PLATFORMS", None)
-            else:
-                os.environ["JAX_PLATFORMS"] = prev_plat
+            atexit.register(_shutdown_hybrid_pool)
         _HYBRID_POOL_JOBS = jobs
     return _HYBRID_POOL
 

@@ -4,6 +4,7 @@ Runs on the virtual CPU mesh (conftest).  The device pipeline must produce
 byte-identical streams to the host NumPy twin and decode via bzip2 -d.
 """
 
+import os
 import random
 from functools import partial
 
@@ -115,3 +116,30 @@ def test_end_to_end_multiblock(bunzip):
     dev = device_compress(data, 1)
     assert dev == host_compress(data, 1)
     assert bunzip(dev) == data
+
+
+@pytest.mark.skipif(
+    not os.environ.get("BANZAI_SCALE"),
+    reason="full-shape (900 KB block) device-stage run is opt-in: "
+    "BANZAI_SCALE=1",
+)
+def test_bwt_device_full_shape_vs_oracle(sample_blob):
+    """BWT at the real level-9 block shape (CI-shaped unit tests run at
+    N=8192; bench/chip campaigns are the only other full-shape coverage).
+    Mixed text + a long run + a periodic tail stresses every code path
+    (round-1 prefix, chain resolution, full rounds, all three tiers)."""
+    from banzai_tpu.pipeline import _padded_len
+    from banzai_tpu.rle1 import iter_blocks
+
+    data = sample_blob * 12 + b"\x00" * 40_000 + b"abcde" * 9_000
+    blk = next(iter_blocks(data, 9))
+    rle1 = np.asarray(blk.output)
+    n = len(rle1)
+    assert n > 860_000  # a genuinely full level-9 block
+    N = _padded_len(9)
+    block = np.zeros(N, np.uint8)
+    block[:n] = rle1
+    bwt_d, ptr_d = bwt_rotations(jnp.asarray(block), jnp.int32(n))
+    bwt_h, ptr_h = numpy_bwt(rle1.tobytes())
+    assert np.array_equal(np.asarray(bwt_d)[:n], bwt_h)
+    assert int(ptr_d) == ptr_h

@@ -24,14 +24,14 @@ from .mtf_rle2 import mtf_indices, rle2_encode
 from .oracle.stages import numpy_bwt
 from .rle1 import iter_blocks
 
-# Blocks at or below this many RLE1 bytes get the quirk-exact banzai plan
-# as an extra entropy candidate (north-star size contract: <= banzai on
-# EVERY input; its heap trees occasionally beat the payload-optimal tree
-# on total bits via cheaper delta coding — fuzz seed 33 iter 145).  Only a
-# stream's FINAL block can be this small (interior blocks always fill to
-# the level's capacity), so the guard runs at most once per stream; the
-# device pipeline diverts such blocks here so every backend stays
-# byte-identical.
+# Blocks at or below this many RLE1 bytes are routed to the host by the
+# device pipeline — only a stream's FINAL block can be this small
+# (interior blocks always fill to the level's capacity), and padding one
+# tiny tail block to the full device shape wastes a batch slot.  Output
+# is byte-identical either way: since round 4 every backend includes the
+# quirk-exact banzai plan as an entropy candidate on every block
+# (plan_entropy / ops.banzai_plan), so this constant is purely a routing
+# heuristic, not a size-contract guard.
 TINY_BLOCK = 16384
 
 
@@ -42,17 +42,25 @@ def compress(data: bytes, level: int = 9, jobs: int | None = None) -> bytes:
     independent; output is byte-identical at any job count since the
     ordered stitch is the only shared state — the host analog of the
     device pipeline's block-DP axis).  Default: BANZAI_HOST_JOBS, else
-    all cores.  Workers are SPAWNED, never forked — the parent may hold
-    XLA runtime threads, and forking a multithreaded process deadlocks —
-    with the accelerator env scrubbed (utils.spawn_pool) so NumPy-only
-    workers never claim the chip.
+    all cores when ``__main__`` is a real importable file, else 1.
+    Workers are SPAWNED, never forked — the parent may hold XLA runtime
+    threads, and forking a multithreaded process deadlocks — with the
+    accelerator env scrubbed (utils.spawn_pool) so NumPy-only workers
+    never claim the chip.  Spawn re-imports ``__main__`` in each worker,
+    which explodes for stdin/interactive parents (there is no file to
+    re-run), hence the importable-main check before auto-pooling;
+    explicit ``jobs=``/env requests are honored as given.
     """
     import os
 
     if jobs is None:
-        jobs = int(os.environ.get("BANZAI_HOST_JOBS", "0")) or (
-            os.cpu_count() or 1
-        )
+        jobs = int(os.environ.get("BANZAI_HOST_JOBS", "0"))
+        if not jobs:
+            import __main__
+
+            mf = getattr(__main__, "__file__", None)
+            spawn_safe = bool(mf) and os.path.isfile(mf)
+            jobs = (os.cpu_count() or 1) if spawn_safe else 1
 
     bw = BitWriter()
     write_stream_header(bw, level)
@@ -137,10 +145,7 @@ def block_plan(rle1_out: np.ndarray):
     if idx is None:
         idx = mtf_indices(bwt, present)
     syms, freqs = rle2_encode(idx, num_names)
-    plan = plan_entropy(
-        syms, num_names + 2, freqs,
-        include_banzai=len(rle1_out) <= TINY_BLOCK,
-    )
+    plan = plan_entropy(syms, num_names + 2, freqs)
     return ptr, present, syms, plan
 
 

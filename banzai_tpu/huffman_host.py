@@ -195,18 +195,20 @@ class EntropyPlan:
 
 def plan_entropy(
     syms: np.ndarray, num_syms: int, freqs: np.ndarray,
-    include_banzai: bool = False,
+    include_banzai: bool = True,
 ) -> EntropyPlan:
     """Pick the cheapest candidate across table counts.
 
-    ``include_banzai`` adds the reference's quirk-exact plan as one more
-    candidate.  On degenerate blocks, banzai's heap trees can land a
-    delta-coding-cheaper length assignment than the payload-optimal
-    package-merge tree (Huffman trees are not unique), and the north-star
-    size contract is "<= banzai on EVERY input".  Only the tiny-block
-    host paths enable it (encoder_host.block_plan) — the device planner
-    has no banzai candidate, and host/device twins must stay
-    bit-identical on every block the device encodes.
+    ``include_banzai`` (default ON for every block) adds the reference's
+    quirk-exact plan as one more candidate.  Banzai's heap trees can land
+    a delta-coding-cheaper length assignment than the payload-optimal
+    package-merge tree (Huffman trees are not unique; fuzz seed 33 iter
+    145 found a 29-byte block where that wins by a byte), and the
+    north-star size contract is "<= banzai on EVERY input" — which this
+    closes by construction: min over a candidate set that contains
+    banzai's exact plan can never exceed banzai.  The device planner
+    carries the same candidate (ops/banzai_plan.banzai_plan_device), so
+    host/device twins stay bit-identical on every block.
     """
     hist = segment_histogram(syms, num_syms)
     candidates: list[EntropyPlan] = []

@@ -257,13 +257,33 @@ def plan_entropy_device(
     s_payload = jnp.sum(hist * single[None, :].astype(jnp.float32))
     bits_single = s_selbits + s_delta + s_payload.astype(jnp.int32)
 
+    # --- banzai's exact plan (the unconditional <=-banzai contract) --------
+    # Appended LAST: earlier candidates win ties, so streams only change
+    # where banzai's plan is strictly smaller.  Its selectors are all
+    # zeros (QUIRK #3), so they share the single candidate's (s_sel,
+    # s_idx) arrays.
+    from .banzai_plan import banzai_plan_device
+
+    b_nt, b_tables, b_bits = banzai_plan_device(
+        hist, freqs, out_len, num_syms, nseg_used
+    )
+    b_tables_p = jnp.concatenate(
+        [b_tables, jnp.zeros((T - b_tables.shape[0], S), jnp.int32)]
+    )
+
     # --- pick the winner ---------------------------------------------------
-    all_bits = jnp.concatenate([bits_single[None], bits_multi])   # [NC]
+    all_bits = jnp.concatenate(
+        [bits_single[None], bits_multi, b_bits[None]]
+    )                                                             # [NC]
     win = jnp.argmin(all_bits)
-    all_nt = jnp.concatenate([jnp.array([2], jnp.int32), nt_arr])
-    all_tables = jnp.concatenate([stables[None], tables_i])       # [NC,T,S]
-    all_sel = jnp.concatenate([s_sel[None], sel])                 # [NC,NSEG]
-    all_idx = jnp.concatenate([s_idx[None], sel_idx])
+    all_nt = jnp.concatenate(
+        [jnp.array([2], jnp.int32), nt_arr, b_nt[None]]
+    )
+    all_tables = jnp.concatenate(
+        [stables[None], tables_i, b_tables_p[None]]
+    )                                                             # [NC,T,S]
+    all_sel = jnp.concatenate([s_sel[None], sel, s_sel[None]])    # [NC,NSEG]
+    all_idx = jnp.concatenate([s_idx[None], sel_idx, s_idx[None]])
     return {
         "num_tables": all_nt[win],
         "tables": all_tables[win],

@@ -65,6 +65,34 @@ def _batch_for_level(level: int) -> int:
 
 _INFLIGHT = 3         # batches dispatched ahead of the host drain
 
+_SORT_WINDOW = 4      # batches buffered for hardness-sorted scheduling
+
+
+def _hardness(out: np.ndarray) -> float:
+    """Cheap predictor of a block's BWT sort difficulty: max small-period
+    autocorrelation of its RLE1 bytes, sampled.
+
+    A vmapped while_loop runs the max trip count over its batch, so one
+    periodic block (RLE1-coded runs have period 5; short repeats keep
+    rotation tie groups alive for extra doubling rounds) stalls every text
+    block sharing its batch — measured 3.4x on the runs-heavy scale
+    corpus.  Blocks are independent and payloads stitch by sequence id,
+    so the scheduler buffers a window of blocks, sorts by this score, and
+    encodes out of order so similar-hardness blocks share batches.
+    """
+    n = out.size
+    if n > 16384:
+        step = n // 4
+        out = np.concatenate(
+            [out[i * step : i * step + 4096] for i in range(4)]
+        )
+    best = 0.0
+    for q in (1, 2, 3, 4, 5, 6, 7, 8):
+        m = float(np.mean(out[q:] == out[:-q]))
+        if m > best:
+            best = m
+    return best
+
 
 def _padded_len(level: int) -> int:
     cap = block_capacity(level)
@@ -366,8 +394,10 @@ def compress_blocks_payloads(
             seq = next(seq_counter)
             if len(blk.output) <= _TINY_BLOCK:
                 # Tiny blocks (only a stream's final block can be one) go
-                # to the host: block_plan's banzai-candidate guard runs
-                # there, and every backend stays byte-identical.
+                # to the host — padding one tail block to the full device
+                # shape wastes a batch slot.  Byte-identical either way:
+                # host and device planners share the same candidate set,
+                # including the banzai plan (ops/banzai_plan).
                 results[seq] = _host_payload(blk)
                 continue
             if pool is not None:
@@ -386,68 +416,84 @@ def compress_blocks_payloads(
 
     tagged_iter = device_stream()
 
+    sort_window = int(
+        os.environ.get("BANZAI_SORT_WINDOW", str(_SORT_WINDOW))
+    )
+
+    def dispatch(group) -> bool:
+        """Stage + upload + dispatch one batch; False once the drain died."""
+        B = len(group)
+        # Batch padding policy: pad to the next power of two <= batch.
+        # Dummy slots cost full device time (static shapes), so a tail of
+        # 7 real blocks runs as [8], not [batch].  The shape ladder is
+        # log2(batch)+1 compiles worst case, all persistent-cached.
+        # Sharded always uses the mesh batch (the mesh fixes the shape).
+        tgt = batch if sharded else min(batch, 1 << (B - 1).bit_length())
+        t0 = _time.perf_counter()
+        arr = np.zeros((tgt, N + _ROW_EXTRA), np.uint8)
+        arr[:, N] = 1                            # dummy blocks: byte 0
+        arr[:, N + 256] = 1                      # present, length 1
+        pres = np.zeros((tgt, 256), bool)
+        pres[:, 0] = True
+        for i, (_seq, blk) in enumerate(group):
+            nb = len(blk.output)
+            arr[i, :nb] = blk.output
+            p = np.bincount(blk.output, minlength=256) > 0
+            pres[i] = p
+            arr[i, N : N + 256] = p
+            arr[i, N + 256] = nb & 0xFF
+            arr[i, N + 257] = (nb >> 8) & 0xFF
+            arr[i, N + 258] = (nb >> 16) & 0xFF
+        _t("stage", t0)
+        t0 = _time.perf_counter()
+        packed = jnp.asarray(arr)
+        _t("upload", t0)
+        t0 = _time.perf_counter()
+        if sharded:
+            dev = encode_blocks_sharded(
+                packed, nseg=nseg, nwords=nwords, mesh=mesh, chunk=_CHUNK,
+                use_pallas=_use_pallas(),
+            )
+        else:
+            dev = _encode_blocks(
+                packed, nseg=nseg, nwords=nwords, use_pallas=_use_pallas(),
+            )
+        words_d, nbits_d, ptrs_d = dev
+        k = _k_now()
+        packed_d = _pack_out(words_d, nbits_d, ptrs_d, k=k)
+        _t("dispatch", t0)
+        try:
+            # Begin the device->host copy now; the consumer's np.asarray
+            # then finds the bytes staged instead of starting the pull.
+            packed_d.copy_to_host_async()
+        except Exception:
+            pass  # backend without async copies: drain pulls as before
+        item = (group, pres, (words_d, nbits_d, ptrs_d, packed_d))
+        while not drain_exc:
+            try:
+                q.put(item, timeout=1.0)
+                break
+            except queue.Full:  # consumer alive but busy; retry
+                continue
+        return not drain_exc
+
     def produce() -> None:
         while True:
             t0 = _time.perf_counter()
-            group = list(itertools.islice(tagged_iter, batch))
+            window = list(itertools.islice(tagged_iter, batch * sort_window))
             _t("rle1_iter", t0)
-            if not group:
+            if not window:
                 break
-            B = len(group)
-            # Batch padding policy: pad to the next power of two <= batch.
-            # Dummy slots cost full device time (static shapes), so a tail of
-            # 7 real blocks runs as [8], not [batch].  The shape ladder is
-            # log2(batch)+1 compiles worst case, all persistent-cached.
-            # Sharded always uses the mesh batch (the mesh fixes the shape).
-            tgt = batch if sharded else min(batch, 1 << (B - 1).bit_length())
-            t0 = _time.perf_counter()
-            arr = np.zeros((tgt, N + _ROW_EXTRA), np.uint8)
-            arr[:, N] = 1                            # dummy blocks: byte 0
-            arr[:, N + 256] = 1                      # present, length 1
-            pres = np.zeros((tgt, 256), bool)
-            pres[:, 0] = True
-            for i, (_seq, blk) in enumerate(group):
-                nb = len(blk.output)
-                arr[i, :nb] = blk.output
-                p = np.bincount(blk.output, minlength=256) > 0
-                pres[i] = p
-                arr[i, N : N + 256] = p
-                arr[i, N + 256] = nb & 0xFF
-                arr[i, N + 257] = (nb >> 8) & 0xFF
-                arr[i, N + 258] = (nb >> 16) & 0xFF
-            _t("stage", t0)
-            t0 = _time.perf_counter()
-            packed = jnp.asarray(arr)
-            _t("upload", t0)
-            t0 = _time.perf_counter()
-            if sharded:
-                dev = encode_blocks_sharded(
-                    packed, nseg=nseg, nwords=nwords, mesh=mesh, chunk=_CHUNK,
-                    use_pallas=_use_pallas(),
-                )
-            else:
-                dev = _encode_blocks(
-                    packed, nseg=nseg, nwords=nwords, use_pallas=_use_pallas(),
-                )
-            words_d, nbits_d, ptrs_d = dev
-            k = _k_now()
-            packed_d = _pack_out(words_d, nbits_d, ptrs_d, k=k)
-            _t("dispatch", t0)
-            try:
-                # Begin the device->host copy now; the consumer's np.asarray
-                # then finds the bytes staged instead of starting the pull.
-                packed_d.copy_to_host_async()
-            except Exception:
-                pass  # backend without async copies: drain pulls as before
-            item = (group, pres, (words_d, nbits_d, ptrs_d, packed_d))
-            while not drain_exc:
-                try:
-                    q.put(item, timeout=1.0)
-                    break
-                except queue.Full:  # consumer alive but busy; retry
-                    continue
-            if drain_exc:
-                break
+            if len(window) > batch:
+                # Out-of-order encode: group similar-hardness blocks so a
+                # periodic straggler can't stall a whole batch of text
+                # blocks (sort is stable — equal scores keep input order).
+                t0 = _time.perf_counter()
+                window.sort(key=lambda sb: _hardness(sb[1].output))
+                _t("hardness_sort", t0)
+            for gi in range(0, len(window), batch):
+                if not dispatch(window[gi : gi + batch]):
+                    return
 
     try:
         produce()

@@ -118,6 +118,33 @@ def test_end_to_end_multiblock(bunzip):
     assert bunzip(dev) == data
 
 
+def test_hardness_sorted_out_of_order_stitch(bunzip):
+    """Mixed-hardness corpus with batch=1 and a 4-batch sort window: blocks
+    are encoded out of input order (periodic blocks group together), but
+    the payload stitch by sequence id must reproduce the exact host
+    stream."""
+    from banzai_tpu.pipeline import _hardness, compress as pipe_compress
+
+    rng = random.Random(9)
+    data = (
+        rng.randbytes(120_000)              # hard-ish (random)
+        + b"ab" * 60_000                    # periodic
+        + open(
+            "/opt/venv/lib/python3.12/site-packages/jax/_src/lax/"
+            "lax.py", "rb"
+        ).read()[:120_000]                  # text
+        + b"\x07" * 120_000                 # run-heavy
+    )
+    # Sanity: the predictor separates periodic from text.
+    assert _hardness(np.frombuffer(b"ab" * 8192, np.uint8)) > 0.9
+    assert (
+        _hardness(np.frombuffer(rng.randbytes(16384), np.uint8)) < 0.2
+    )
+    dev = pipe_compress(data, 1, batch=1)
+    assert dev == host_compress(data, 1)
+    assert bunzip(dev) == data
+
+
 @pytest.mark.skipif(
     not os.environ.get("BANZAI_SCALE"),
     reason="full-shape (900 KB block) device-stage run is opt-in: "

@@ -54,3 +54,113 @@ def test_plan_entropy_picks_min_candidate():
     lens = plan.tables.astype(np.int64)
     payload = int((hist * lens[plan.selectors]).sum())
     assert plan.total_bits >= payload
+
+
+# ---------------------------------------------------------------------------
+# Device twin of banzai's quirk-exact plan (the <=-banzai contract closure)
+# ---------------------------------------------------------------------------
+
+def _device_banzai(syms, num_syms):
+    import jax
+    import jax.numpy as jnp
+
+    from banzai_tpu.constants import SEGMENT_WIDTH, MAX_SYMS
+    from banzai_tpu.ops.banzai_plan import banzai_plan_device
+    from banzai_tpu.ops.huffman import segment_hist
+
+    n = len(syms)
+    nseg = (n + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
+    pad = np.zeros(max(n, 1), np.int32)
+    pad[:n] = syms
+    hist = segment_hist(jnp.asarray(pad), jnp.int32(n), nseg)
+    freqs = jnp.sum(hist, axis=0).astype(jnp.int32)
+    nt, tables, bits = jax.jit(banzai_plan_device)(
+        hist, freqs, jnp.int32(n), jnp.int32(num_syms), jnp.int32(nseg)
+    )
+    return int(nt), np.asarray(tables), int(bits)
+
+
+@pytest.mark.parametrize("seed,n,ns", [
+    (0, 120, 5),        # tiny, nt=2
+    (1, 3000, 30),      # nt=2
+    (2, 5000, 258),     # full alphabet, nt=3 (ns >= 200)
+    (3, 2000, 200),     # nt=3 boundary
+    (4, 999, 199),      # nt=2 boundary
+    (5, 4000, 3),       # minimal alphabet, heavy ties
+])
+def test_banzai_plan_device_matches_oracle(seed, n, ns):
+    """The jit heap + closed-form accumulators must reproduce the oracle's
+    4-iteration quirky refinement bit for bit (tables, nt, total bits)."""
+    from banzai_tpu.oracle.banzai_model import banzai_entropy_plan
+    from banzai_tpu.huffman_host import (
+        selector_bits, table_delta_bits, payload_bits, segment_histogram,
+    )
+
+    rng = np.random.default_rng(seed)
+    # Skewed symbol stream: low symbols dominate (like real MTF output).
+    syms = np.minimum(
+        rng.geometric(0.3, size=n) - 1, ns - 1
+    ).astype(np.int64)
+    syms[-1] = ns - 1                          # EOB
+    freqs = np.bincount(syms, minlength=ns).astype(np.int64)
+
+    o_nt, o_tables, o_sel = banzai_entropy_plan(syms, ns, freqs)
+    d_nt, d_tables, d_bits = _device_banzai(syms, ns)
+
+    assert d_nt == o_nt
+    ot = np.asarray(o_tables, dtype=np.int64)
+    assert np.array_equal(d_tables[:o_nt, :ns], ot)
+    hist = segment_histogram(syms, ns)
+    o_bits = (
+        selector_bits(np.asarray(o_sel), o_nt)
+        + table_delta_bits(ot)
+        + payload_bits(hist, ot, np.asarray(o_sel))
+    )
+    assert d_bits == o_bits
+    assert all(s == 0 for s in o_sel)          # quirk #3 holds
+
+
+def test_banzai_lengths_device_rescale_path():
+    """Extreme skew (Fibonacci-ish weights) forces max length > 17, so the
+    device build must walk the same scaling<<=1 rescale loop."""
+    import jax.numpy as jnp
+
+    from banzai_tpu.ops.banzai_plan import banzai_lengths_device
+
+    ns = 40
+    freqs = np.zeros(258, np.int64)
+    a, b = 1, 1
+    for s in range(ns):
+        freqs[s] = a
+        a, b = b, min(a + b, 400_000)
+    o = banzai_code_lengths(ns, freqs.tolist())
+    d = np.asarray(
+        banzai_lengths_device(
+            jnp.asarray(freqs, jnp.int32), jnp.int32(ns)
+        )
+    )
+    assert max(o) <= CODEWORD_MAX_LEN
+    assert np.array_equal(d[:ns], np.asarray(o))
+    assert (d[ns:] == 0).all()
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_banzai_lengths_device_random(seed):
+    """Heap tie mechanics: random small weights produce many equal
+    (weight, depth) priorities; per-symbol lengths must still match the
+    oracle heap exactly."""
+    import jax.numpy as jnp
+
+    from banzai_tpu.ops.banzai_plan import banzai_lengths_device
+
+    rng = np.random.default_rng(seed)
+    ns = int(rng.integers(2, 259))
+    freqs = np.zeros(258, np.int64)
+    freqs[:ns] = rng.integers(0, 8, ns)        # heavy tie territory
+    o = banzai_code_lengths(ns, freqs.tolist())
+    d = np.asarray(
+        banzai_lengths_device(
+            jnp.asarray(freqs, jnp.int32), jnp.int32(ns)
+        )
+    )
+    assert np.array_equal(d[:ns], np.asarray(o))

@@ -209,26 +209,55 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     done = (unres == 0) | (k >= n)
 
     # ---- Full-width octupling rounds while unresolved lanes are dense -----
-    # Offsets k..7k tile [p, p+8k) of rank coverage in ONE 8-key sort; the
-    # shifts are single dynamic slices of a 2-copy rank extension, so one
-    # wide round costs barely more than a quadrupling round but usually
-    # ends the full-width phase in a single lockstep iteration.
+    # Offsets k..7k tile [p, p+8k) of rank coverage in ONE multi-key sort;
+    # the shifts are single dynamic slices of a 2-copy rank extension, so
+    # one wide round costs barely more than a quadrupling round but
+    # usually ends the full-width phase in a single lockstep iteration.
+    # Sort traffic is the floor here (XLA's sort is bandwidth-bound), so
+    # the 8 shifted ranks ride as 20-BIT FIELDS packed into 5 uint32 key
+    # words instead of 8 int32 operands: valid ranks are < n < 2^20 and
+    # the pad sentinel becomes the field max 2^20-1, so lexicographic
+    # word comparison equals the unpacked multi-key order while moving
+    # 6 operands (5 keys + idx payload) instead of 9 — a third less
+    # bandwidth per round.
     _FMULT = 8
+    _FM_PAD = jnp.int32((1 << 20) - 1)   # per-field pad: > any valid rank
 
     def full_round(state):
         k, rank, _o, _m, live_groups, _u, _d = state
         dblr = jax.lax.dynamic_update_slice(
-            jnp.full(2 * N, _PAD_RANK, jnp.int32), rank, (0,)
+            jnp.full(2 * N, _FM_PAD, jnp.int32), rank, (0,)
         )
         dblr = jax.lax.dynamic_update_slice(dblr, rank, (n,))
 
         def shift(m):
+            if m == 0:
+                return jnp.where(valid, rank, _FM_PAD).astype(jnp.uint32)
             s = jnp.where(n > 0, (m * k) % n, 0)
             r = jax.lax.dynamic_slice(dblr, (s,), (N,))
-            return jnp.where(valid, r, _PAD_RANK)
+            return jnp.where(valid, r, _FM_PAD).astype(jnp.uint32)
 
-        ops = (rank,) + tuple(shift(m) for m in range(1, _FMULT)) + (idx,)
-        sorted_ops = _sort(ops, num_keys=_FMULT)
+        # Pack 8 x 20-bit fields MSB-first into 5 x 32-bit words: field m
+        # occupies key bits [160-20(m+1), 160-20m); word w covers key bits
+        # [160-32(w+1), 160-32w).  A field's contribution to a word is the
+        # field shifted by (field_lsb - word_lsb): left when the field
+        # sits above the word's LSB, right when its tail hangs below.
+        fields = [shift(m) for m in range(_FMULT)]
+        words = []
+        for w in range(5):
+            w_lo = 160 - 32 * (w + 1)
+            acc = jnp.zeros(N, jnp.uint32)
+            for m in range(_FMULT):
+                sh = (160 - 20 * (m + 1)) - w_lo
+                if sh >= 32 or sh <= -20:
+                    continue
+                if sh >= 0:
+                    acc = acc | (fields[m] << sh)
+                else:
+                    acc = acc | (fields[m] >> -sh)
+            words.append(acc)
+
+        sorted_ops = _sort(tuple(words) + (idx,), num_keys=5)
         order = sorted_ops[-1]
         diffs = jnp.zeros(N - 1, bool)
         for s_op in sorted_ops[:-1]:

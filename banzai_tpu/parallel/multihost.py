@@ -6,13 +6,16 @@ distribution layer.  Design (SURVEY.md §7 table, "distribution" row):
 * ``jax.distributed.initialize()`` forms the job; every process owns a
   contiguous *span* of the input (spans, not striding, so RLE1's
   sequential block splitting stays host-local).
-* **Process 0 plans, everyone else just encodes.**  Block boundaries are
-  data-dependent (an RLE1 block ends where its output hits capacity, which
-  depends on every preceding byte), so process 0 streams the whole input
-  once through the vectorized splitter (~300 MB/s host-side), derives the
-  per-host ``(offset, length)`` spans on exact block boundaries, and
-  broadcasts the tiny span table.  No other process ever sees bytes
-  outside its own span.
+* **Process 0 plans, everyone else just encodes — pipelined.**  Block
+  boundaries are data-dependent (an RLE1 block ends where its output hits
+  capacity, which depends on every preceding byte), so process 0 streams
+  the input through the vectorized splitter (~300 MB/s host-side).  The
+  scan is INCREMENTAL: as soon as span ``h``'s boundary is found it is
+  broadcast (a tiny [offset, length] row) and host ``h`` starts encoding
+  on a worker thread while later spans are still being planned — so the
+  serial prescan overlaps every host's encode instead of gating it, and
+  the LAST span needs no scan at all (it is simply the remainder).  No
+  process ever sees bytes outside its own span.
 * Input is addressed by *path* on a filesystem every host can read: each
   process opens the file and reads only ``[offset, offset+length)`` — the
   per-host memory footprint is the span, not the input.  (A bytes-based
@@ -24,15 +27,26 @@ distribution layer.  Design (SURVEY.md §7 table, "distribution" row):
   whole-stream-sized allgather) and stitched on process 0 *in input
   order*; the rotate-left-XOR stream-CRC combine (lib/lib.rs:108) is the
   only order-dependent state.
+* **Scaling is accounted, not asserted**: every run can fill a ``report``
+  dict with per-host span-wait/encode walls, the planner's scan time,
+  gathered DCN bytes, and a modeled efficiency
+  ``sum(encode_h) / (nproc * (max_h(wait_h + encode_h) + gather))`` —
+  the compute-bound scaling model the >=80% north star is tracked
+  against (real pods are not reachable from this environment; the model
+  plus real 2/3/4-process CPU runs are the evidence).
 
-Validated in-tree by a real 2-process ``jax.distributed`` CPU run
-(tests/test_multihost.py) producing a byte-identical stream to the
-single-host encode.
+Validated in-tree by real 2/3/4-process ``jax.distributed`` CPU runs
+(tests/test_multihost.py) producing byte-identical streams to the
+single-host encode, with the 4-process run recording the efficiency
+model.
 """
 
 from __future__ import annotations
 
 import mmap
+import os
+import threading
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -47,47 +61,37 @@ _GATHER_CHUNK = 8 << 20  # bytes per DCN gather round
 class Span:
     offset: int
     length: int
-    first_block: int     # global block index of the span's first block
 
 
 def plan_spans(data, level: int, n_hosts: int) -> list[Span]:
     """Split ``data`` into per-host spans on exact RLE1 block boundaries.
 
-    Called on process 0 only; the result is broadcast (see
-    ``_broadcast_spans``).  Guarantees the multi-host stream is
-    byte-identical to the single-host one.
-
-    Streams the input through the lazy splitter, retaining only one
-    ``consumed`` int per block — planning a 100 GB input costs one block
-    of working memory plus ~1 MB of boundary ints, never the block
-    payloads themselves.
+    Single-shot variant of the incremental rule the pipelined planner
+    uses (proportional bytes, each span rounded up to the block boundary
+    that reaches its share; the last span is the unscanned remainder).
+    Kept for tests and offline planning; ``_encode_pipelined`` does the
+    same thing one span at a time so encoding can start before the scan
+    finishes.
     """
-    consumed = [b.consumed for b in iter_blocks(data, level)]
-    total = len(consumed)
-    per = (total + n_hosts - 1) // n_hosts
+    total = len(data)
+    blocks = iter_blocks(data, level)
     spans = []
     off = 0
-    bi = 0
     for h in range(n_hosts):
-        length = sum(consumed[bi : bi + per])
-        spans.append(Span(off, length, bi))
+        remaining = total - off
+        if h == n_hosts - 1:
+            length = remaining
+        else:
+            target = -(-remaining // (n_hosts - h))
+            length = 0
+            while length < target:
+                blk = next(blocks, None)
+                if blk is None:
+                    break
+                length += blk.consumed
+        spans.append(Span(off, length))
         off += length
-        bi += min(per, max(0, total - bi))
     return spans
-
-
-def _broadcast_spans(spans: list[Span] | None, nproc: int) -> list[Span]:
-    """Ship the span table from process 0 to everyone (tiny, DCN)."""
-    from jax.experimental import multihost_utils
-
-    if spans is not None:
-        tbl = np.array(
-            [[s.offset, s.length, s.first_block] for s in spans], np.int64
-        )
-    else:
-        tbl = np.zeros((nproc, 3), np.int64)
-    tbl = np.asarray(multihost_utils.broadcast_one_to_all(tbl))
-    return [Span(int(r[0]), int(r[1]), int(r[2])) for r in tbl]
 
 
 def _gather_chunked(flat: bytes, nproc: int) -> list[bytes] | None:
@@ -141,12 +145,113 @@ def _stitch(blobs: list[bytes], level: int) -> bytes:
     return bw.close()
 
 
-def encode_multihost_path(path: str, level: int = 9) -> bytes:
+def _encode_pipelined(
+    read_span,
+    consumed_iter,
+    total: int,
+    level: int,
+    nproc: int,
+    pid: int,
+    report: dict | None = None,
+) -> bytes:
+    """The pipelined core: incremental span broadcast + threaded encode.
+
+    ``read_span(Span) -> bytes`` fetches this process's input bytes;
+    ``consumed_iter`` (process 0 only) yields per-block consumed counts
+    from the streaming splitter.  Returns the stitched stream on process
+    0, b"" elsewhere.  Fills ``report`` (all processes) with the scaling
+    accounting described in the module docstring.
+    """
+    from jax.experimental import multihost_utils
+
+    t_entry = time.perf_counter()
+    enc_out: dict = {}
+    enc_thread = None
+    span_wait = 0.0
+    off = 0
+    scan_s = 0.0
+    for h in range(nproc):
+        if pid == 0:
+            remaining = total - off
+            if h == nproc - 1:
+                length = remaining        # remainder: no scan needed
+            else:
+                target = -(-remaining // (nproc - h))
+                length = 0
+                t0 = time.perf_counter()
+                while length < target:
+                    c = next(consumed_iter, None)
+                    if c is None:
+                        break
+                    length += c
+                scan_s += time.perf_counter() - t0
+            row = np.array([off, length], np.int64)
+            off += length
+        else:
+            row = np.zeros(2, np.int64)
+        row = np.asarray(multihost_utils.broadcast_one_to_all(row))
+        if h == pid:
+            span = Span(int(row[0]), int(row[1]))
+            span_wait = time.perf_counter() - t_entry
+            my = read_span(span)
+
+            def run(data=my):
+                from ..pipeline import compress_blocks_payloads
+
+                t0 = time.perf_counter()
+                ps = compress_blocks_payloads(data, level)
+                enc_out["flat"] = b"".join(p.to_bytes() for p in ps)
+                enc_out["encode_s"] = time.perf_counter() - t0
+
+            # Encode on a worker thread so this process keeps serving the
+            # remaining span broadcasts (collectives are main-thread-only
+            # by convention here; jit dispatch is thread-safe).
+            enc_thread = threading.Thread(target=run)
+            enc_thread.start()
+    enc_thread.join()
+    flat = enc_out["flat"]
+    t0 = time.perf_counter()
+    blobs = _gather_chunked(flat, nproc)
+    gather_s = time.perf_counter() - t0
+
+    stats = np.asarray(
+        multihost_utils.process_allgather(
+            np.array(
+                [span_wait, enc_out["encode_s"], float(len(flat))],
+                np.float64,
+            )
+        )
+    ).reshape(nproc, 3)
+    if report is not None:
+        waits, encs, payload = stats[:, 0], stats[:, 1], stats[:, 2]
+        t1 = float(encs.sum())               # modeled single-host encode
+        tn = float((waits + encs).max()) + gather_s
+        report.update(
+            nproc=nproc,
+            input_bytes=total,
+            span_wait_s=[round(x, 4) for x in waits.tolist()],
+            encode_s=[round(x, 4) for x in encs.tolist()],
+            plan_scan_s=round(scan_s, 4),
+            gather_s=round(gather_s, 4),
+            dcn_payload_bytes=int(payload.sum()),
+            modeled_single_host_s=round(t1, 4),
+            modeled_parallel_s=round(tn, 4),
+            modeled_efficiency=round(t1 / (nproc * max(tn, 1e-9)), 4),
+        )
+    if blobs is None:
+        return b""
+    return _stitch(blobs, level)
+
+
+def encode_multihost_path(
+    path: str, level: int = 9, report: dict | None = None
+) -> bytes:
     """Encode a file across all processes; returns the stream on process 0
     (other processes return b"").
 
-    Process 0 mmaps the file to plan spans; every process then reads only
-    its own span bytes.  ``path`` must be readable on every host.
+    Process 0 mmaps the file and plans spans incrementally while every
+    host (itself included) encodes; every process reads only its own span
+    bytes.  ``path`` must be readable on every host.
     """
     import jax
 
@@ -158,35 +263,42 @@ def encode_multihost_path(path: str, level: int = 9) -> bytes:
         with open(path, "rb") as f:
             return compress(f.read(), level)
 
-    spans = None
+    total = os.path.getsize(path)
+    consumed_iter = None
+    mm = None
+    f0 = None
     if pid == 0:
+        f0 = open(path, "rb")
+        try:
+            mm = mmap.mmap(f0.fileno(), 0, access=mmap.ACCESS_READ)
+            data = mm
+        except ValueError:              # empty file
+            data = b""
+        consumed_iter = (b.consumed for b in iter_blocks(data, level))
+
+    def read_span(span: Span) -> bytes:
         with open(path, "rb") as f:
-            mm = None
+            f.seek(span.offset)
+            return f.read(span.length)
+
+    try:
+        return _encode_pipelined(
+            read_span, consumed_iter, total, level, nproc, pid, report
+        )
+    finally:
+        del consumed_iter
+        if mm is not None:
             try:
-                mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-                data = mm
-            except ValueError:          # empty file
-                data = b""
-            try:
-                # Streamed boundary scan over the mmap — no input-sized
-                # copy; process 0's footprint is one block + the span ints.
-                spans = plan_spans(data, level, nproc)
-            finally:
-                if mm is not None:
-                    try:
-                        mm.close()
-                    except BufferError:
-                        pass  # a stray view still holds the buffer; GC's
-
-    spans = _broadcast_spans(spans, nproc)
-    span = spans[pid]
-    with open(path, "rb") as f:
-        f.seek(span.offset)
-        my = f.read(span.length)
-    return _encode_spans(my, spans, level, nproc, pid)
+                mm.close()
+            except BufferError:
+                pass  # a stray view still holds the buffer; GC's
+        if f0 is not None:
+            f0.close()
 
 
-def encode_multihost(data: bytes, level: int = 9) -> bytes:
+def encode_multihost(
+    data: bytes, level: int = 9, report: dict | None = None
+) -> bytes:
     """Encode in-memory bytes across all processes (stream on process 0).
 
     Only process 0's ``data`` is authoritative: it plans the spans and
@@ -203,21 +315,13 @@ def encode_multihost(data: bytes, level: int = 9) -> bytes:
         return compress(data, level)
 
     pid = jax.process_index()
-    spans = plan_spans(data, level, nproc) if pid == 0 else None
-    spans = _broadcast_spans(spans, nproc)
-    span = spans[pid]
-    my = data[span.offset : span.offset + span.length]
-    return _encode_spans(my, spans, level, nproc, pid)
+    consumed_iter = (
+        (b.consumed for b in iter_blocks(data, level)) if pid == 0 else None
+    )
 
+    def read_span(span: Span) -> bytes:
+        return data[span.offset : span.offset + span.length]
 
-def _encode_spans(
-    my: bytes, spans: list[Span], level: int, nproc: int, pid: int
-) -> bytes:
-    from ..pipeline import compress_blocks_payloads
-
-    payloads = compress_blocks_payloads(my, level)
-    flat = b"".join(p.to_bytes() for p in payloads)
-    blobs = _gather_chunked(flat, nproc)
-    if blobs is None:
-        return b""
-    return _stitch(blobs, level)
+    return _encode_pipelined(
+        read_span, consumed_iter, len(data), level, nproc, pid, report
+    )

@@ -158,11 +158,13 @@ def test_bwt_device_full_shape_vs_oracle(sample_blob):
     from banzai_tpu.pipeline import _padded_len
     from banzai_tpu.rle1 import iter_blocks
 
-    data = sample_blob * 12 + b"\x00" * 40_000 + b"abcde" * 9_000
+    data = (
+        sample_blob * 6 + b"\x00" * 40_000 + b"abcde" * 9_000
+    ) * 3
     blk = next(iter_blocks(data, 9))
     rle1 = np.asarray(blk.output)
     n = len(rle1)
-    assert n > 860_000  # a genuinely full level-9 block
+    assert n > 890_000  # a genuinely full level-9 block
     N = _padded_len(9)
     block = np.zeros(N, np.uint8)
     block[:n] = rle1

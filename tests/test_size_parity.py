@@ -39,30 +39,21 @@ def _battery() -> dict[str, bytes]:
     }
 
 
-# Fuzz regression (seed 0, iter 201, level 3): banzai's quirky 2-table
-# refinement collapses to a single used table whose unused twin is cheap to
-# delta-code; our degenerate candidate must use a constant dummy table to
-# stay <= banzai (huffman_host.plan_entropy).
-_FUZZ_201 = (
-    "eNodk1kShDAIRAn7EsL9bzs4/miVSrpfNy2kHAKvRQXjWKmEOtY7dNSyWqsm3zjRm5iDoBe0"
-    "wcJdCEbPsEABafER88mIEkQreAlGIgbYrALqr+YGQpgq4b1ZKdTIt/ennsBzAeum3Ih7O+hc"
-    "z/Kmlis2kOcxnpkeulBGuYLfSXxtkHHpGJdnzLM3CoAWCQLDJDSriKyccSTOs+Rodz4v+pX1"
-    "o+NR5Vd4n1SF1psJMEuNweyoy1VFw3yqWZrtdK86PaEVglo+2vUuYuSha2o7/pPeVHnXhGTN"
-    "+Is16QF7pqObLlPIFbwAB4ddDeiU1+NedtnZJUZwphZWtpi8QUnuWDda+GZNTYiVMN+Mtf4M"
-    "+MXyk0eJWAyXglmJtVtv751MnTjwvsL2s4bffdiplO0dT5/KRsLmm677pa6NNwyfnZjJzLZg"
-    "3awQr2wfOKHpKsm5ub/eEzmzuZ6JDNi3Hoeoyi4wih2OuXowj/cst9dl3lnM8SR9U9vS4WVU"
-    "a/L5vnmCaRcB1c8ROUvGVXr9bQ/ya6PqTrpJsNKP5rWtpNxhjQbQRNcH6CWnhhSfXEOAzsdU"
-    "jfC+nlkvqPvYcDHZ7fW5lZz37l1qgOjZc/eiAAcMWfbrrbdPel5rDAPSd8AeuVOm3jrBDP/w"
-    "9HLeJq3mu5GXfRqaUBBSxLeQyds/pec7mO7mS0G8pWoX2X7sqvR/03JXYXRhuoKcs520XaQA"
-    "6bcE2fck4aD7be+agIP+A/aDHYY="
-)
+def _corpus_case(name: str) -> bytes:
+    import os
+
+    return open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "corpus", name), "rb"
+    ).read()
 
 
 def test_fuzz_201_degenerate_dummy_table(bunzip):
-    import base64
-    import zlib
-
-    data = zlib.decompress(base64.b64decode(_FUZZ_201))
+    """Fuzz regression (seed 0, iter 201, level 3): banzai's quirky 2-table
+    refinement collapses to a single used table whose unused twin is cheap
+    to delta-code; our degenerate candidate must use a constant dummy
+    table to stay <= banzai (huffman_host.plan_entropy)."""
+    data = _corpus_case("fail_s0_i201_l3.bin")
     ours = host_compress(data, 3)
     assert bunzip(ours) == data
     assert len(ours) <= len(banzai_compress(data, 3))
@@ -82,15 +73,11 @@ def test_size_le_banzai_all_levels(level, bunzip):
 def test_fuzz_s33_145_tiny_block_heap_tree(bunzip):
     """fuzz seed 33 iter 145: on a 29-RLE1-byte block, banzai's heap tree
     beat the payload-optimal package-merge tree by 1 byte via cheaper
-    delta coding (Huffman trees are not unique).  The tiny-block guard
-    (encoder_host.TINY_BLOCK) adds the quirk-exact banzai plan as a
-    candidate, restoring the <=-banzai contract."""
-    import base64
-    import zlib
-
-    data = zlib.decompress(
-        base64.b64decode(b"eNpjZBwFIxYwsY9wwMzMPgrYAV+TECI=")
-    )
+    delta coding (Huffman trees are not unique).  Since round 4 the
+    quirk-exact banzai plan is a candidate on EVERY block (host
+    plan_entropy + ops/banzai_plan on device), so the contract holds by
+    construction."""
+    data = _corpus_case("fail_s33_i145_l1.bin")
     assert len(data) == 1028
     ours = host_compress(data, 1)
     assert bunzip(ours) == data
@@ -98,16 +85,11 @@ def test_fuzz_s33_145_tiny_block_heap_tree(bunzip):
 
 
 def test_tiny_block_guard_device_matches_host(bunzip):
-    """Tiny blocks are diverted to the guarded host path on every backend,
-    so jax-backend output == numpy-backend output byte-for-byte."""
-    import base64
-    import zlib
-
+    """Tiny blocks are routed to the host path on the jax backend, so
+    jax-backend output == numpy-backend output byte-for-byte."""
     from banzai_tpu import compress as be_compress
 
-    data = zlib.decompress(
-        base64.b64decode(b"eNpjZBwFIxYwsY9wwMzMPgrYAV+TECI=")
-    )
+    data = _corpus_case("fail_s33_i145_l1.bin")
     a = be_compress(data, 1, backend="numpy")
     b = be_compress(data, 1, backend="jax")
     assert a == b

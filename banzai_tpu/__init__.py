@@ -89,58 +89,56 @@ def encode(
             writer.write(chunk)
             written += len(chunk)
 
-    tail = b""
-    eof = False
-    while not eof:
-        buf = reader.read(span_bytes)
-        eof = not buf
-        data = tail + buf
-        if not data:
-            break
-        if backend == "jax":
-            from .pipeline import compress_blocks_payloads
-            from .rle1 import split_blocks
+    def span_blocks():
+        """Lazy cross-span block stream: each span is read and RLE1-split
+        only when the consumer pulls past the previous one — so under the
+        jax backend, where the pipeline's producer thread is the puller,
+        the NEXT span's host RLE1 overlaps the device's work on the
+        current span instead of gating it (wall-vs-device gap)."""
+        from .rle1 import split_blocks
 
+        tail = b""
+        eof = False
+        while not eof:
+            buf = reader.read(span_bytes)
+            eof = not buf
+            data = tail + buf
+            if not data:
+                return
             blocks = split_blocks(data, level)
             hold = 0 if eof else 1          # last block may still grow
             take = blocks[: len(blocks) - hold] if hold else blocks
-            consumed = sum(b.consumed for b in take)
-            if take:
-                # Pass the already-split blocks through: re-splitting the
-                # span inside the pipeline would double the RLE1 cost.
-                for blk, p in zip(
-                    take,
-                    compress_blocks_payloads(b"", level, blocks=take),
-                ):
-                    stream_crc = combine_stream_crc(stream_crc, p.crc)
-                    p.write(bw)
-                    if report is not None:
-                        report.add_block(
-                            blk.consumed, len(blk.output), p.nbits, p.ptr,
-                            p.crc,
-                        )
-            tail = data[consumed:]
-        else:
-            from .encoder_host import encode_block
-            from .rle1 import split_blocks
-
-            blocks = split_blocks(data, level)
-            hold = 0 if eof else 1
-            take = blocks[: len(blocks) - hold] if hold else blocks
             consumed = 0
             for blk in take:
-                stream_crc = combine_stream_crc(stream_crc, blk.crc)
-                ptr, payload_bits = encode_block(bw, blk.output, blk.crc)
                 consumed += blk.consumed
-                if report is not None:
-                    # Same numbers as the device path: entropy payload
-                    # bits (excl. header/symmap) and the real BWT ptr.
-                    report.add_block(
-                        blk.consumed, len(blk.output),
-                        payload_bits, ptr, blk.crc,
-                    )
+                yield blk
             tail = data[consumed:]
-        flush()
+
+    if backend == "jax":
+        from .pipeline import compress_blocks_iter
+
+        for blk, p in compress_blocks_iter(span_blocks(), level):
+            stream_crc = combine_stream_crc(stream_crc, p.crc)
+            p.write(bw)
+            if report is not None:
+                report.add_block(
+                    blk.consumed, len(blk.output), p.nbits, p.ptr, p.crc,
+                )
+            flush()
+    else:
+        from .encoder_host import encode_block
+
+        for blk in span_blocks():
+            stream_crc = combine_stream_crc(stream_crc, blk.crc)
+            ptr, payload_bits = encode_block(bw, blk.output, blk.crc)
+            if report is not None:
+                # Same numbers as the device path: entropy payload
+                # bits (excl. header/symmap) and the real BWT ptr.
+                report.add_block(
+                    blk.consumed, len(blk.output),
+                    payload_bits, ptr, blk.crc,
+                )
+            flush()
 
     write_stream_footer(bw, stream_crc)
     final = bw.drain(final=True)

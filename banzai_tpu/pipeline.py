@@ -245,7 +245,31 @@ def compress_blocks_payloads(
     ``blocks``: pre-split RLE1 blocks (an iterable of rle1.Rle1Block);
     when given, ``data`` is ignored and the RLE1 split is not re-run —
     the streaming ``encode()`` already split the span to find its block
-    boundary.
+    boundary."""
+    it = iter(blocks) if blocks is not None else iter_blocks(data, level)
+    return [
+        p for _blk, p in compress_blocks_iter(
+            it, level, batch, sharded, hybrid_jobs=hybrid_jobs
+        )
+    ]
+
+
+def compress_blocks_iter(
+    block_iter,
+    level: int = 9,
+    batch: int | None = None,
+    sharded: bool | None = None,
+    hybrid_jobs: int | None = None,
+):
+    """Encode a stream of RLE1 blocks; yield (block, payload) in input
+    order as payloads complete.
+
+    The generator form is what lets the streaming ``encode()`` overlap
+    EVERYTHING: production (staging + upload + dispatch) runs on a worker
+    thread that pulls blocks lazily — so the *next* span's host RLE1 runs
+    while the device chews the current span's batches — the drain runs on
+    its own consumer thread, and the caller writes finished payloads out
+    as they appear instead of waiting for a whole span.
 
     ``hybrid_jobs`` (default BANZAI_HYBRID_JOBS, else 0): host worker
     processes that encode stolen blocks concurrently with the device —
@@ -290,9 +314,11 @@ def compress_blocks_payloads(
     if hybrid_jobs is None:
         hybrid_jobs = int(os.environ.get("BANZAI_HYBRID_JOBS", "0"))
     pool = _hybrid_pool(hybrid_jobs) if hybrid_jobs > 0 else None
-    host_jobs: list = []          # (seq, blk, AsyncResult)
+    host_jobs: dict[int, tuple] = {}      # seq -> (blk, AsyncResult)
 
     results: dict[int, BlockPayload] = {}
+    blk_map: dict[int, object] = {}       # seq -> Rle1Block (until yielded)
+    avail = _threading.Condition()        # signals new results / completion
     # Adaptive word-fetch bucket: fetch width follows the max compressed
     # size of the last few batches (not an all-time max, so one
     # incompressible stretch can't permanently inflate every later fetch).
@@ -377,21 +403,26 @@ def compress_blocks_payloads(
                 drain_one(item)
             except BaseException as e:  # surface after join
                 drain_exc.append(e)
+                with avail:
+                    avail.notify_all()
                 return
+            with avail:
+                avail.notify_all()
 
     worker = threading.Thread(target=consumer, daemon=True)
     worker.start()
 
-    block_iter = iter(blocks) if blocks is not None else (
-        iter_blocks(data, level)
-    )
     seq_counter = itertools.count()
+    cancelled: list[bool] = []            # non-empty => stop producing
 
     def device_stream():
         """Sequence-tagged blocks bound for the device; idle host workers
         steal blocks in between (hybrid scheduling)."""
         for blk in block_iter:
+            if cancelled:
+                return
             seq = next(seq_counter)
+            blk_map[seq] = blk
             if len(blk.output) <= _TINY_BLOCK:
                 # Tiny blocks (only a stream's final block can be one) go
                 # to the host — padding one tail block to the full device
@@ -399,18 +430,22 @@ def compress_blocks_payloads(
                 # host and device planners share the same candidate set,
                 # including the banzai plan (ops/banzai_plan).
                 results[seq] = _host_payload(blk)
+                with avail:
+                    avail.notify_all()
                 continue
             if pool is not None:
-                active = sum(1 for h in host_jobs if not h[2].ready())
+                active = sum(
+                    1 for _b, ar in host_jobs.values() if not ar.ready()
+                )
                 if active < hybrid_jobs:
                     from .encoder_host import hybrid_block
 
-                    host_jobs.append(
-                        (seq, blk, pool.apply_async(
+                    with avail:
+                        host_jobs[seq] = (blk, pool.apply_async(
                             hybrid_block,
                             (np.ascontiguousarray(blk.output),),
                         ))
-                    )
+                        avail.notify_all()
                     continue
             yield seq, blk
 
@@ -495,28 +530,39 @@ def compress_blocks_payloads(
                 if not dispatch(window[gi : gi + batch]):
                     return
 
-    try:
-        produce()
-    finally:
-        # Producer failures (compile error, OOM, iter_blocks) must still
-        # shut the consumer down — else the thread leaks blocked in get()
-        # holding device buffers.
-        while not drain_exc:
-            try:
-                q.put(None, timeout=1.0)
-                break
-            except queue.Full:
-                continue
-        worker.join()
-    if drain_exc:
-        raise drain_exc[0]
-    _K_SEED[(level, N)] = tuple(k_recent)
-    for seq, blk, ar in host_jobs:
+    prod_exc: list[BaseException] = []
+    prod_total: list[int] = []            # [block count] once producer ends
+
+    def producer() -> None:
+        try:
+            produce()
+        except BaseException as e:
+            prod_exc.append(e)
+        finally:
+            # Shut the consumer down whether production finished or died —
+            # else the thread leaks blocked in get() holding device buffers.
+            while not drain_exc:
+                try:
+                    q.put(None, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
+            worker.join()
+            _K_SEED[(level, N)] = tuple(k_recent)
+            prod_total.append(next(seq_counter))
+            with avail:
+                avail.notify_all()
+
+    prod_thread = threading.Thread(target=producer, daemon=True)
+    prod_thread.start()
+
+    def resolve_hybrid(seq: int) -> BlockPayload:
+        blk, ar = host_jobs.pop(seq)
         try:
             # Bounded get: a worker lost mid-task would otherwise leave
             # this AsyncResult pending forever.
             ptr, present, words, nb = ar.get(timeout=300)
-            results[seq] = BlockPayload(
+            return BlockPayload(
                 crc=blk.crc, ptr=ptr, present=present,
                 words=words, nbits=nb,
             )
@@ -527,13 +573,41 @@ def compress_blocks_payloads(
                 f"hybrid host worker failed ({type(e).__name__}: {e}); "
                 "re-encoding the block inline"
             )
-            results[seq] = _host_payload(blk)
-    if timing is not None:
-        import sys
+            return _host_payload(blk)
 
-        print("pipeline timing:", {k: round(v, 3) for k, v in
-                                    sorted(timing.items())}, file=sys.stderr)
-    return [results[i] for i in range(len(results))]
+    next_seq = 0
+    try:
+        while True:
+            payload = None
+            hybrid = False
+            with avail:
+                while True:
+                    if next_seq in results:
+                        payload = results.pop(next_seq)
+                        break
+                    if next_seq in host_jobs:
+                        hybrid = True
+                        break
+                    if drain_exc:
+                        raise drain_exc[0]
+                    if prod_exc:
+                        raise prod_exc[0]
+                    if prod_total and next_seq >= prod_total[0]:
+                        return
+                    avail.wait(0.2)
+            if hybrid:
+                payload = resolve_hybrid(next_seq)
+            yield blk_map.pop(next_seq), payload
+            next_seq += 1
+    finally:
+        cancelled.append(True)
+        prod_thread.join()
+        if timing is not None:
+            import sys
+
+            print("pipeline timing:", {k: round(v, 3) for k, v in
+                                        sorted(timing.items())},
+                  file=sys.stderr)
 
 
 def compress(

@@ -169,6 +169,22 @@ def main() -> None:
     except Exception as e:  # tracing must never fail the bench
         stages = {"error": str(e)[:120]}
 
+    # Wall-vs-device ratio (VERDICT r3 item 3): how much of the wall is
+    # NOT device self-time (host RLE1 tails, staging, transfer latency,
+    # drain).  1.0 = perfectly hidden host side.
+    wall_vs_device = 0.0
+    try:
+        dev_ms = sum(v for v in stages.values() if isinstance(v, (int, float)))
+        if dev_ms > 0:
+            from banzai_tpu.rle1 import iter_blocks
+
+            nblocks = sum(1 for _ in iter_blocks(corpus, level))
+            wall_vs_device = round(
+                encode_s / (dev_ms * nblocks / 1000.0), 3
+            )
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -182,6 +198,7 @@ def main() -> None:
                     "bzip2_bytes": len(p.stdout),
                     "corpus_bytes": len(corpus),
                     "level1_MBps": round(lvl1_mbps, 3),
+                    "wall_vs_device": wall_vs_device,
                     "stage_ms_per_block": stages,
                 },
             }

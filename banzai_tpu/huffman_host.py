@@ -265,6 +265,76 @@ def plan_entropy(
 
 
 # ---------------------------------------------------------------------------
+# The <=-banzai contract check for device-encoded blocks
+# ---------------------------------------------------------------------------
+
+def banzai_bits_from_split(
+    split: np.ndarray, num_syms: int, out_len: int
+) -> int:
+    """Banzai's exact total plan bits from the device-computed table split
+    (ops/banzai_plan.banzai_split_device; [3, S] iteration-0 per-table
+    segment frequencies, column sums == global freqs).
+
+    The split rides the packed device fetch (3x258 u32/block); the exact
+    sequential heap builds run HERE, off the device hot path (a vmapped
+    device while_loop measured 62 ms/block vs ~1 ms on a host core).
+    Accounting mirrors ops/banzai_plan.banzai_plan_device bit-for-bit:
+    all-zero selectors cost nseg_used bits (QUIRK #3), each of the 2-3
+    tables pays delta coding, only table 0 carries payload.
+    """
+    from .oracle.banzai_model import banzai_code_lengths
+
+    split = np.asarray(split, dtype=np.int64)
+    ns = int(num_syms)
+    freqs = split.sum(axis=0)
+    nt = 2 if ns < 200 else 3                      # QUIRK #1
+    nseg_used = -(-int(out_len) // SEGMENT_WIDTH)
+    bits = nseg_used
+    for t in range(nt):
+        tf = split[0] + 3 * freqs if t == 0 else split[t]
+        lens = np.asarray(
+            banzai_code_lengths(ns, tf[:ns].tolist()), dtype=np.int64
+        )
+        bits += 5 + ns + 2 * int(np.abs(np.diff(lens)).sum())
+        if t == 0:
+            bits += int((freqs[:ns] * lens).sum())
+    return int(bits)
+
+
+def banzai_wins(
+    split: np.ndarray, num_syms: int, out_len: int, plan_bits: int
+) -> bool:
+    """True iff banzai's exact plan is STRICTLY smaller than ``plan_bits``
+    (the device plan's total) — the drain-thread contract check; a True
+    block is re-encoded on the host, whose candidate set includes
+    banzai's plan, so the emitted stream is min(candidates) either way.
+
+    Runs a cheap lower bound first so the Python heap builds almost never
+    execute: banzai's table-0 payload uses SOME 17-limited code L, and
+    package-merge minimizes sum(max(f,1)*L), so
+    sum(f*L) >= sum(max(f,1)*L_pm) - 17*#zeros >= sum(f*L_pm) - 17*#zeros;
+    each table's delta coding costs >= 5 + num_syms and selectors cost
+    exactly nseg_used.  Our multi-table plans beat the optimal single
+    table by far more than the slack on real blocks, so the bound rules
+    banzai out without building its trees.
+    """
+    split = np.asarray(split, dtype=np.int64)
+    ns = int(num_syms)
+    freqs = split.sum(axis=0)[:ns]
+    nt = 2 if ns < 200 else 3
+    nseg_used = -(-int(out_len) // SEGMENT_WIDTH)
+    lpm = pm_code_lengths(freqs).astype(np.int64)
+    z = int((freqs == 0).sum())
+    lower = (
+        nseg_used + nt * (5 + ns)
+        + int((freqs * lpm).sum()) - 17 * z
+    )
+    if lower >= plan_bits:
+        return False
+    return banzai_bits_from_split(split, ns, out_len) < plan_bits
+
+
+# ---------------------------------------------------------------------------
 # Emission (shared format-level helpers)
 # ---------------------------------------------------------------------------
 

@@ -235,17 +235,24 @@ def _initial_partition(freqs, ns, input_size, nt):
     return jnp.stack(rows)
 
 
-def banzai_plan_device(
+def banzai_split_device(
     hist: jax.Array,       # [NSEG, S] float32 segment histogram
     freqs: jax.Array,      # [S] int32 global frequencies (hist column sums)
     out_len: jax.Array,    # int32 number of MTF symbols
     num_syms: jax.Array,   # int32 alphabet size
-    nseg_used: jax.Array,  # int32 live segments
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Banzai's exact plan: (num_tables, tables int32 [_BNT, S], total_bits).
+) -> jax.Array:
+    """The cheap (matmul-shaped) half of banzai's plan: the QUIRK-exact
+    initial-partition cost sweep and the per-table segment-frequency
+    split.  Returns int32 [_BNT, S] — iteration-0 table frequencies,
+    BEFORE the table-0 ``+ 3 * freqs`` accumulation of iterations 1..3
+    (so its column sums recover ``freqs`` exactly on the host).
 
-    Selectors are all zeros by QUIRK #3 (their unary-MTF cost is exactly
-    ``nseg_used`` bits), so they are not returned.
+    This is all that runs on the device hot path: the exact heap builds
+    that turn the split into banzai's total bits are sequential
+    (lib/huffman.rs:161-268 tie mechanics) and measured 62 ms/block as a
+    vmapped device while_loop — they run on the HOST drain thread instead
+    (huffman_host.banzai_bits_from_split), which re-encodes the
+    vanishingly rare blocks banzai wins via the byte-identical host path.
     """
     ns = num_syms
     nt = jnp.where(ns < 200, 2, 3).astype(jnp.int32)   # QUIRK #1
@@ -257,7 +264,29 @@ def banzai_plan_device(
     sel0 = jnp.argmin(costs, axis=1).astype(jnp.int32)      # first-wins
 
     onehot = (sel0[:, None] == t_ids[None, :]).astype(jnp.float32)
-    split = (onehot.T @ hist).astype(jnp.int32)             # [_BNT, S]
+    return (onehot.T @ hist).astype(jnp.int32)              # [_BNT, S]
+
+
+def banzai_plan_device(
+    hist: jax.Array,       # [NSEG, S] float32 segment histogram
+    freqs: jax.Array,      # [S] int32 global frequencies (hist column sums)
+    out_len: jax.Array,    # int32 number of MTF symbols
+    num_syms: jax.Array,   # int32 alphabet size
+    nseg_used: jax.Array,  # int32 live segments
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Banzai's exact plan: (num_tables, tables int32 [_BNT, S], total_bits).
+
+    Selectors are all zeros by QUIRK #3 (their unary-MTF cost is exactly
+    ``nseg_used`` bits), so they are not returned.  Complete on-device
+    twin of the oracle, kept for differential tests and offline use; the
+    production pipeline runs only ``banzai_split_device`` on device and
+    finishes the plan on the host (see that docstring for why).
+    """
+    ns = num_syms
+    nt = jnp.where(ns < 200, 2, 3).astype(jnp.int32)   # QUIRK #1
+    t_ids = jnp.arange(_BNT, dtype=jnp.int32)
+
+    split = banzai_split_device(hist, freqs, out_len, num_syms)
     tf = split.at[0].add(3 * freqs)                         # iterations 1..3
 
     tables = jax.vmap(banzai_lengths_device, in_axes=(0, None))(tf, ns)

@@ -95,22 +95,36 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     )
     need = n + _QMAX + _R1_LEN
 
-    def _extend(st):
-        dbl, cov = st
-        ext = jax.lax.dynamic_update_slice(
+    # cov = n * 2^t >= need: ONE doubling suffices for n >= 36 (every
+    # production block — the pipeline diverts blocks <= 16 KiB to the
+    # host), and a fixed chain of 6 MASKED doublings covers any n >= 0
+    # (64 * max(n,1) >= n + 36).  The chain replaces a vmapped while_loop
+    # whose pure dispatch overhead measured ~1.7 ms/block even at zero
+    # trips (tools/trace_fused, 2026-08-20).  A step whose cov already
+    # reaches ``need`` writes the first N lanes onto themselves at offset
+    # 0 — the safe no-op; writing past the buffer would CLAMP the start
+    # and corrupt the extension (see the extn sizing note above).  Steps
+    # with cov < need write garbage into [2*cov, cov+N), exactly like the
+    # old loop did; the next step overwrites it, and the final garbage
+    # tail lives beyond ``need`` where only PAD-lane keys (masked by
+    # key0 = _PAD_RANK) ever read.
+    with jax.named_scope("bwt_extend"):
+        dbl, cov = dbl0, jnp.maximum(n, 1)
+        # Step 1 always runs for real (cov = n < need).
+        dbl = jax.lax.dynamic_update_slice(
             dbl, jax.lax.slice(dbl, (0,), (N,)), (cov,)
         )
-        return ext, cov * 2
-
-    # cov = n * 2^t >= need: one iteration for any n > QMAX + 15, ~20 only
-    # for tiny blocks.  The first iteration is peeled out of the while_loop
-    # (it always runs: need > n), so the common big-block case is one
-    # straight-line update-slice instead of a loop dispatch — a vmapped
-    # while_loop costs ~1.7 ms/block in loop overhead even at one trip.
-    dbl1, cov1 = _extend((dbl0, jnp.maximum(n, 1)))
-    dbl, _ = jax.lax.while_loop(
-        lambda st: st[1] < need, _extend, (dbl1, cov1)
-    )
+        cov = cov * 2
+        # Steps 2..6 only do real work when n < 36 (cov = 2n < n + 36),
+        # so a short window suffices: need <= 72 there, and the window
+        # start stays < 2 * 72 — far inside the buffer.
+        SHORT = min(N, 4096)
+        for _ in range(5):
+            off = jnp.where(cov < need, cov, 0)
+            dbl = jax.lax.dynamic_update_slice(
+                dbl, jax.lax.slice(dbl, (0,), (SHORT,)), (off,)
+            )
+            cov = cov * 2
 
     def byte(off: int) -> jax.Array:
         return jax.lax.slice(dbl, (off,), (off + N,))
@@ -175,9 +189,10 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     idx_cmp = (
         idx.astype(jnp.uint32) << 12
     ) | cmpbits.astype(jnp.uint32)
-    sorted_r1 = _sort(
-        (key0, *kws, idx_cmp), num_keys=1 + _R1_WORDS + 1
-    )
+    with jax.named_scope("bwt_r1_sort"):
+        sorted_r1 = _sort(
+            (key0, *kws, idx_cmp), num_keys=1 + _R1_WORDS + 1
+        )
     oc_s = sorted_r1[-1]
     order = (oc_s >> 12).astype(jnp.int32)
     cmp_s = (oc_s & 0xFFF).astype(jnp.int32)
@@ -200,9 +215,10 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # is the precomputed prefix15 relation carried in ``cmp_s``, so the
     # pass costs no gather and the single inverse-permutation sort below
     # doubles as round 1's rank inversion.
-    rank, resolved_lanes, resolved_groups, applied = _resolve_chains(
-        rank_sorted, order, cmp_s, n, idx, valid
-    )
+    with jax.named_scope("bwt_chains"):
+        rank, resolved_lanes, resolved_groups, applied = _resolve_chains(
+            rank_sorted, order, cmp_s, n, idx, valid
+        )
     multi = multi & ~applied
     unres = unres - resolved_lanes
     live_groups = live_groups - resolved_groups
@@ -273,9 +289,10 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
         return (kx, new_rank, order, multi, lg2, unres, done)
 
     state = (k, rank, order, multi, live_groups, unres, done)
-    state = jax.lax.while_loop(
-        lambda s: ~s[6] & (s[5] > W1), full_round, state
-    )
+    with jax.named_scope("bwt_full"):
+        state = jax.lax.while_loop(
+            lambda s: ~s[6] & (s[5] > W1), full_round, state
+        )
     k, rank, order, multi, live_groups, unres, done = state
 
     # ---- Compact refinement cascade ---------------------------------------
@@ -374,9 +391,10 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
         lane_live1, ext_r[jnp.where(lane_live1, c_pos1, N)], _PAD_RANK
     )
     st = (k, rank, c_pos1, c_head1, live_groups, done)
-    st = jax.lax.while_loop(
-        lambda s: ~s[5] & (_live(s[3]) > W2), make_tier(W1), st
-    )
+    with jax.named_scope("bwt_tier1"):
+        st = jax.lax.while_loop(
+            lambda s: ~s[5] & (_live(s[3]) > W2), make_tier(W1), st
+        )
 
     # Tier switches must re-pack live lanes to the front: a tier round only
     # pushes lanes killed in *previous* rounds to the back (they sort last
@@ -388,14 +406,16 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
         return (st[0], st[1], p2[:W], h2[:W], st[4], st[5])
 
     # Tier 2 (W2).
-    st = repack(st, W2)
-    st = jax.lax.while_loop(
-        lambda s: ~s[5] & (_live(s[3]) > W3), make_tier(W2), st
-    )
+    with jax.named_scope("bwt_tier2"):
+        st = repack(st, W2)
+        st = jax.lax.while_loop(
+            lambda s: ~s[5] & (_live(s[3]) > W3), make_tier(W2), st
+        )
 
     # Tier 3 (W3): run to completion.
-    st = repack(st, W3)
-    st = jax.lax.while_loop(lambda s: ~s[5], make_tier(W3), st)
+    with jax.named_scope("bwt_tier3"):
+        st = repack(st, W3)
+        st = jax.lax.while_loop(lambda s: ~s[5], make_tier(W3), st)
     rank = st[1]
 
     # Extract the BWT column by sorting the preceding-byte payload by final
@@ -407,11 +427,14 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # The byte rides the low 8 bits of the rank key (valid ranks < n < 2^20,
     # so rank<<8 stays within int32), making this a 1-operand sort; pad
     # lanes sort last under a small sentinel with zero byte bits.
-    prev_byte = jax.lax.dynamic_slice(dbl, (jnp.maximum(n - 1, 0),), (N,))
-    packed_rb = jnp.where(valid, (rank << 8) | prev_byte, _PAD_RANK)
-    (rb_sorted,) = _sort((packed_rb,), num_keys=1)
-    bwt = (rb_sorted & 0xFF).astype(jnp.uint8)
-    ptr = jnp.sum(((rank < rank[0]) & valid).astype(jnp.int32))
+    with jax.named_scope("bwt_extract"):
+        prev_byte = jax.lax.dynamic_slice(
+            dbl, (jnp.maximum(n - 1, 0),), (N,)
+        )
+        packed_rb = jnp.where(valid, (rank << 8) | prev_byte, _PAD_RANK)
+        (rb_sorted,) = _sort((packed_rb,), num_keys=1)
+        bwt = (rb_sorted & 0xFF).astype(jnp.uint8)
+        ptr = jnp.sum(((rank < rank[0]) & valid).astype(jnp.int32))
     return bwt, ptr
 
 

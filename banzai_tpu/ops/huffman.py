@@ -257,33 +257,27 @@ def plan_entropy_device(
     s_payload = jnp.sum(hist * single[None, :].astype(jnp.float32))
     bits_single = s_selbits + s_delta + s_payload.astype(jnp.int32)
 
-    # --- banzai's exact plan (the unconditional <=-banzai contract) --------
-    # Appended LAST: earlier candidates win ties, so streams only change
-    # where banzai's plan is strictly smaller.  Its selectors are all
-    # zeros (QUIRK #3), so they share the single candidate's (s_sel,
-    # s_idx) arrays.
-    from .banzai_plan import banzai_plan_device
+    # --- banzai's exact-plan split (the unconditional <=-banzai contract) --
+    # Only the matmul half runs here; the sequential heap builds that turn
+    # the split into banzai's exact total bits measured 62 ms/block as a
+    # vmapped device while_loop — they run on the HOST drain thread from
+    # this split (huffman_host.banzai_bits_from_split), and the host
+    # re-encodes the (vanishingly rare: banzai wins only via cheaper
+    # delta coding on degenerate blocks) blocks where banzai's plan is
+    # strictly smaller, via the byte-identical host backend whose
+    # candidate set includes banzai's plan.  min(emitted) <= banzai still
+    # holds by construction; the device hot path pays one matmul.
+    from .banzai_plan import banzai_split_device
 
-    b_nt, b_tables, b_bits = banzai_plan_device(
-        hist, freqs, out_len, num_syms, nseg_used
-    )
-    b_tables_p = jnp.concatenate(
-        [b_tables, jnp.zeros((T - b_tables.shape[0], S), jnp.int32)]
-    )
+    b_split = banzai_split_device(hist, freqs, out_len, num_syms)
 
     # --- pick the winner ---------------------------------------------------
-    all_bits = jnp.concatenate(
-        [bits_single[None], bits_multi, b_bits[None]]
-    )                                                             # [NC]
+    all_bits = jnp.concatenate([bits_single[None], bits_multi])  # [NC]
     win = jnp.argmin(all_bits)
-    all_nt = jnp.concatenate(
-        [jnp.array([2], jnp.int32), nt_arr, b_nt[None]]
-    )
-    all_tables = jnp.concatenate(
-        [stables[None], tables_i, b_tables_p[None]]
-    )                                                             # [NC,T,S]
-    all_sel = jnp.concatenate([s_sel[None], sel, s_sel[None]])    # [NC,NSEG]
-    all_idx = jnp.concatenate([s_idx[None], sel_idx, s_idx[None]])
+    all_nt = jnp.concatenate([jnp.array([2], jnp.int32), nt_arr])
+    all_tables = jnp.concatenate([stables[None], tables_i])      # [NC,T,S]
+    all_sel = jnp.concatenate([s_sel[None], sel])                # [NC,NSEG]
+    all_idx = jnp.concatenate([s_idx[None], sel_idx])
     return {
         "num_tables": all_nt[win],
         "tables": all_tables[win],
@@ -291,4 +285,5 @@ def plan_entropy_device(
         "sel_mtf_idx": all_idx[win],
         "total_bits": all_bits[win],
         "nseg_used": nseg_used,
+        "banzai_split": b_split,
     }

@@ -73,7 +73,13 @@ def encode_one_block(
             plan["nseg_used"],
         )
         words, total_bits = pack_entries(vals, lens, nwords)
-    return words, total_bits, ptr
+    # plan_bits / banzai split / mtf length ride the fetch so the host
+    # drain thread can run the <=-banzai contract check off-device
+    # (huffman_host.banzai_wins; see ops/huffman.plan_entropy_device).
+    return (
+        words, total_bits, ptr,
+        plan["total_bits"], plan["banzai_split"], out_len,
+    )
 
 
 def encode_batch_rows(
@@ -115,7 +121,10 @@ def encode_blocks_sharded(
         shard_fn,
         mesh=mesh,
         in_specs=(P("blocks", None),),
-        out_specs=(P("blocks", None), P("blocks"), P("blocks")),
+        out_specs=(
+            P("blocks", None), P("blocks"), P("blocks"),
+            P("blocks"), P("blocks", None, None), P("blocks"),
+        ),
         # The per-block pipeline is embarrassingly parallel; loop carries
         # initialized from constants trip the varying-axes checker.
         check_vma=False,

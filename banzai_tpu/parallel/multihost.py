@@ -30,10 +30,11 @@ distribution layer.  Design (SURVEY.md §7 table, "distribution" row):
 * **Scaling is accounted, not asserted**: every run can fill a ``report``
   dict with per-host span-wait/encode walls, the planner's scan time,
   gathered DCN bytes, and a modeled efficiency
-  ``sum(encode_h) / (nproc * (max_h(wait_h + encode_h) + gather))`` —
-  the compute-bound scaling model the >=80% north star is tracked
-  against (real pods are not reachable from this environment; the model
-  plus real 2/3/4-process CPU runs are the evidence).
+  ``sum(encode_h) / (nproc * max_h(wall_h))`` where ``wall_h`` is host
+  h's measured end-to-end wall (span wait + encode + gather) — the
+  compute-bound scaling model the >=80% north star is tracked against
+  (real pods are not reachable from this environment; the model plus
+  real 2/3/4-process CPU runs are the evidence).
 
 Validated in-tree by real 2/3/4-process ``jax.distributed`` CPU runs
 (tests/test_multihost.py) producing byte-identical streams to the
@@ -212,20 +213,26 @@ def _encode_pipelined(
     flat = enc_out["flat"]
     t0 = time.perf_counter()
     blobs = _gather_chunked(flat, nproc)
+    # NOTE: this local gather window also absorbs waiting for straggler
+    # processes still encoding (the collective can't complete before the
+    # slowest host arrives), so it is NOT pure DCN time; it is reported
+    # for visibility but the efficiency model uses measured end-to-end
+    # walls, which can't double-count the skew.
     gather_s = time.perf_counter() - t0
+    wall_s = time.perf_counter() - t_entry
 
     stats = np.asarray(
         multihost_utils.process_allgather(
             np.array(
-                [span_wait, enc_out["encode_s"], float(len(flat))],
+                [span_wait, enc_out["encode_s"], float(len(flat)), wall_s],
                 np.float64,
             )
         )
-    ).reshape(nproc, 3)
+    ).reshape(nproc, 4)
     if report is not None:
         waits, encs, payload = stats[:, 0], stats[:, 1], stats[:, 2]
         t1 = float(encs.sum())               # modeled single-host encode
-        tn = float((waits + encs).max()) + gather_s
+        tn = float(stats[:, 3].max())        # measured parallel wall
         report.update(
             nproc=nproc,
             input_bytes=total,

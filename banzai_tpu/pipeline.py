@@ -17,7 +17,8 @@ Transfer discipline (the host<->device link can be the bottleneck, and on
 this relay every call costs ~50 ms of latency regardless of size): each
 batch is ONE upload — blocks, lengths and presence bitmaps packed into a
 single uint8 array, unpacked in-jit — and ONE fetch — a packed uint32
-array of (nbits, ptrs, words[:, :k]) where the word bucket k is adapted
+array of (nbits, ptrs, plan_bits, mtf_lens, banzai splits, words[:, :k])
+where the word bucket k is adapted
 from previous batches and verified against the nbits riding the same
 fetch (a miss refetches wider; rare).  Batches are dispatched ahead
 (async) so uploads and compute overlap.
@@ -155,11 +156,22 @@ def _fetch_words(words: jax.Array, *, k: int) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("k",))
 def _pack_out(
-    words: jax.Array, nbits: jax.Array, ptrs: jax.Array, *, k: int
+    words: jax.Array, nbits: jax.Array, ptrs: jax.Array,
+    plan_bits: jax.Array, mlens: jax.Array, splits: jax.Array, *, k: int
 ) -> jax.Array:
-    """One fetchable uint32 array: [nbits(B), ptrs(B), words[:, :k] flat]."""
+    """One fetchable uint32 array:
+    [nbits(B), ptrs(B), plan_bits(B), mlens(B), splits(B*3*S),
+     words[:, :k] flat].  plan_bits / mlens / splits feed the drain
+    thread's host-side <=-banzai contract check (huffman_host.banzai_wins)
+    — ~3 KB/block next to the payload words."""
     head = jnp.concatenate(
-        [nbits.astype(jnp.uint32), ptrs.astype(jnp.uint32)]
+        [
+            nbits.astype(jnp.uint32),
+            ptrs.astype(jnp.uint32),
+            plan_bits.astype(jnp.uint32),
+            mlens.astype(jnp.uint32),
+            splits.astype(jnp.uint32).reshape(-1),
+        ]
     )
     return jnp.concatenate(
         [head, jax.lax.slice(words, (0, 0), (words.shape[0], k)).reshape(-1)]
@@ -343,8 +355,12 @@ def compress_blocks_iter(
             _t("drain_fetch", t0)
             nbits = flat[:B].astype(np.int64)
             ptrs = flat[B : 2 * B]
-            k = (len(flat) - 2 * B) // B
-            words = flat[2 * B :].reshape(B, k)
+            plan_bits = flat[2 * B : 3 * B].astype(np.int64)
+            mlens = flat[3 * B : 4 * B].astype(np.int64)
+            head = 4 * B + 3 * S * B
+            splits = flat[4 * B : head].reshape(B, 3, S)
+            k = (len(flat) - head) // B
+            words = flat[head:].reshape(B, k)
             kmax = max(1, int(nbits[: len(group)].max() + 31) // 32)
             k_recent.append(min(_bucket(kmax), nwords))
             del k_recent[:-3]
@@ -365,11 +381,25 @@ def compress_blocks_iter(
             for seq, blk in group:
                 results[seq] = _host_payload(blk)
             return
+        from .huffman_host import banzai_wins
+
         for i, (seq, blk) in enumerate(group):
             if int(nbits[i]) > nwords * 32:
                 # Entropy payload exceeded the 9.25-bit/symbol capacity
                 # bound (theoretically unreachable — see _nwords); the
                 # device words are truncated, so re-encode on host.
+                results[seq] = _host_payload(blk)
+                continue
+            if banzai_wins(
+                splits[i], int(pres_h[i].sum()) + 2,
+                int(mlens[i]), int(plan_bits[i]),
+            ):
+                # The <=-banzai contract: banzai's exact plan (heap-built
+                # on the host from the device's split) is strictly smaller
+                # than the device plan — re-encode on the host, whose
+                # candidate set includes banzai's plan.  Vanishingly rare
+                # (cheaper delta coding on degenerate blocks only), and
+                # byte-identical to the pure-host backend either way.
                 results[seq] = _host_payload(blk)
                 continue
             results[seq] = BlockPayload(
@@ -493,9 +523,11 @@ def compress_blocks_iter(
             dev = _encode_blocks(
                 packed, nseg=nseg, nwords=nwords, use_pallas=_use_pallas(),
             )
-        words_d, nbits_d, ptrs_d = dev
+        words_d, nbits_d, ptrs_d, planb_d, splits_d, mlens_d = dev
         k = _k_now()
-        packed_d = _pack_out(words_d, nbits_d, ptrs_d, k=k)
+        packed_d = _pack_out(
+            words_d, nbits_d, ptrs_d, planb_d, mlens_d, splits_d, k=k
+        )
         _t("dispatch", t0)
         try:
             # Begin the device->host copy now; the consumer's np.asarray

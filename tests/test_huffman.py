@@ -164,3 +164,47 @@ def test_banzai_lengths_device_random(seed):
         )
     )
     assert np.array_equal(d[:ns], np.asarray(o))
+
+
+@pytest.mark.parametrize("seed,n,ns", [
+    (0, 120, 5),
+    (2, 5000, 258),
+    (3, 2000, 200),
+    (5, 4000, 3),
+])
+def test_banzai_bits_from_split_matches_device_plan(seed, n, ns):
+    """The production path: the device ships only the cheap matmul split
+    (ops/banzai_plan.banzai_split_device) and the host finishes the exact
+    plan bits (huffman_host.banzai_bits_from_split).  split -> bits must
+    equal the full device twin's total, and banzai_wins must agree with
+    the exact comparison at thresholds around it (the pm lower bound may
+    only ever *skip* when banzai provably loses)."""
+    import jax
+    import jax.numpy as jnp
+
+    from banzai_tpu.constants import SEGMENT_WIDTH
+    from banzai_tpu.huffman_host import banzai_bits_from_split, banzai_wins
+    from banzai_tpu.ops.banzai_plan import banzai_split_device
+    from banzai_tpu.ops.huffman import segment_hist
+
+    rng = np.random.default_rng(seed)
+    syms = np.minimum(
+        rng.geometric(0.3, size=n) - 1, ns - 1
+    ).astype(np.int64)
+    syms[-1] = ns - 1
+    _nt, _tables, d_bits = _device_banzai(syms, ns)
+
+    nseg = (n + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
+    hist = segment_hist(jnp.asarray(syms.astype(np.int32)),
+                        jnp.int32(n), nseg)
+    freqs = jnp.sum(hist, axis=0).astype(jnp.int32)
+    split = np.asarray(jax.jit(banzai_split_device)(
+        hist, freqs, jnp.int32(n), jnp.int32(ns)
+    ))
+    h_bits = banzai_bits_from_split(split, ns, n)
+    assert h_bits == d_bits
+    # Strict-win semantics at the boundary (exercises both the lower-bound
+    # skip and the exact fallback).
+    assert not banzai_wins(split, ns, n, h_bits)
+    assert banzai_wins(split, ns, n, h_bits + 1)
+    assert not banzai_wins(split, ns, n, h_bits - 10_000)

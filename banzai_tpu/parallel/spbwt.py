@@ -4,31 +4,46 @@ SURVEY.md §5's "long-context" stretch axis: the reference's sequential
 suffix sort (lib/bwt.rs:526-756) has no scaling story beyond one core; the
 block-DP layer (parallel/dp.py) scales across *blocks* but a single block's
 sort still lives on one chip.  This module shards ONE block's rotation
-sort lane-wise over a 1-D ``('lanes',)`` mesh with XLA collectives:
+sort lane-wise over a 1-D ``('lanes',)`` mesh with per-device memory
+O(N/D) — the input block itself enters sharded, and no collective ever
+materializes an O(N) array on one device:
 
-  * each device owns a contiguous shard of rotation indices;
-  * every doubling round builds its (rank, shifted-rank) keys locally from
-    a replicated rank array (one all_gather per round — O(N) bytes on ICI,
-    which at ~100 GB/s is noise next to the sort FLOPs);
+  * each device owns a contiguous shard of positions; round-0 prefix keys
+    read at most 2 bytes past the shard (a 2-byte neighbour halo + the
+    2-byte global head for the cyclic wrap — two tiny static exchanges);
+  * ranks live in POSITION space, sharded like the input.  The doubling
+    round's shifted-rank lookup ``rank[(p + k) mod n]`` is a *uniform
+    shift*, not a gather: a barrel roll — ceil(log2 D) static ppermute
+    stages select shard-granular shifts by the bits of ``k // m``, one
+    more ppermute supplies the neighbour tail for the intra-shard offset
+    ``k % m`` — plus a second roll patching the mod-n wrap tail.  Traffic:
+    ~2 * (log2 D + 1) shards per round, vs the O(N)-per-device all_gather
+    this replaces;
   * the global sort is an **odd-even merge-split of shards**: D rounds of
-    pairwise shard exchange (ppermute) + local 3-operand merge sorts — the
-    block-level odd-even transposition sort (by the 0-1 principle, D
-    merge-split rounds over D locally-sorted blocks sort the whole array);
-  * rank relabeling crosses shard boundaries with 1-hop ppermutes (the
-    neighbours' boundary keys) and a D-scalar all_gather carry (group
-    heads are a prefix-max, which composes associatively across shards);
-  * termination is a global psum of unresolved lanes.
+    pairwise shard exchange (ppermute) + local merge sorts (by the 0-1
+    principle, D merge-split rounds over D locally-sorted shards sort the
+    whole array);
+  * rank relabeling crosses shard boundaries with 1-hop ppermutes and a
+    D-scalar all_gather carry (group heads are a prefix max, which
+    composes associatively across shards);
+  * sorted-space ranks return to position space by a second merge-split
+    (sort by position) — after it, device d holds exactly the ranks of
+    its own contiguous positions, because positions are dealt evenly;
+  * termination is a global psum of unresolved lanes; a round that
+    resolves nothing and splits no group is a fixpoint (identical
+    rotations — periodic input), so the loop exits early instead of
+    doubling k all the way to n.
 
 Honest perf model: bzip2 blocks are <= 900 KB (level 9), which fits one
-chip's HBM ~100x over, and XLA's bitonic sort costs O(n log^2 n) whether
-it runs whole on one chip or as 2m-wide merge-splits — so for *this*
-format the block-DP axis is strictly better and this path is a capability
-demonstration, validated byte-identical against ops.bwt.bwt_rotations on
-the virtual 8-device CPU mesh (tests/test_spbwt.py).  The design transfers
-unchanged to inputs that genuinely exceed one chip (the real long-context
-case): shard size m = N/D is what bounds per-device memory, and all
-cross-device traffic (ppermute shard pairs + one all_gather per round)
-rides ICI.
+chip's HBM ~100x over, and the single-chip path additionally has packed
+round-1 keys, octupling rounds, tandem-chain resolution and the compact
+tier cascade that this sharded formulation does not replicate (periodic
+inputs here take plain-doubling round counts until the fixpoint check
+fires) — so for *this* format the block-DP axis is strictly better and
+this path is the long-context capability: per-device memory is O(N/D)
+by construction (validated by the compiled memory analysis in
+tests/test_spbwt.py at 1M lanes), so inputs that exceed one chip's
+memory shard across the mesh with all traffic on ICI.
 """
 
 from __future__ import annotations
@@ -41,6 +56,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 _PAD = np.uint32(0xFFFFFFFF)  # padded-lane key; np scalar: no device put at import
+_PADI = np.int32(2**30)       # padded-lane int32 rank-key sentinel
 
 
 def lane_mesh(devices=None) -> Mesh:
@@ -127,28 +143,69 @@ def bwt_rotations_sharded(
     Same contract as ops.bwt.bwt_rotations: uint8[N] padded block (N must
     be a multiple of the mesh size), int32 true length (1 <= n <= N);
     returns (bwt uint8[N] — first n entries valid, ptr int32), byte-
-    identical to the single-chip path.
+    identical to the single-chip path.  ``block`` may be passed as a
+    replicated host array; jit shards it to P('lanes') on entry, and
+    inside the mesh every device touches only O(N/D) lanes.
     """
     N = block.shape[0]
     D = mesh.devices.size
     assert N % D == 0, "padded block length must divide the lane mesh"
     m = N // D
+    LOGD = max(1, (D - 1).bit_length())
     right_perm = [(d, d + 1) for d in range(D - 1)]  # d's tail -> d+1
     left_perm = [(d + 1, d) for d in range(D - 1)]   # d+1's head -> d
 
-    def shard_fn(block_rep, n):
+    def shard_fn(bsh, n):
         n = n[0]
         me = jax.lax.axis_index("lanes")
-        idx = me * m + jnp.arange(m, dtype=jnp.int32)
-        valid = idx < n
-        gslot = idx  # global sorted-slot ids for this device's shard
-        b32 = block_rep.astype(jnp.uint32)
+        il = jnp.arange(m, dtype=jnp.int32)
+        idx = me * m + il          # global position ids of this shard;
+        valid = idx < n            # doubles as global SLOT ids in sorted
+        # space (same value, different meaning).
+        b32 = bsh.astype(jnp.uint32)
 
-        def bref(off):
-            # block[(idx + off) mod n]: local gather of m lanes from the
-            # replicated block.
-            j = jnp.where(n > 0, (idx + off) % n, 0)
-            return b32[j]
+        # ---- Collective building blocks ------------------------------------
+        def dev_roll(x, q):
+            """Shards rolled left by ``q`` devices: out_d = in_{(d+q)%D}.
+            q is traced; each bit selects a static ppermute stage."""
+            cur = x
+            for bit in range(LOGD):
+                sh = 1 << bit
+                perm = [((d + sh) % D, d) for d in range(D)]
+                cand = jax.lax.ppermute(cur, "lanes", perm)
+                cur = jnp.where((q >> bit) & 1 > 0, cand, cur)
+            return cur
+
+        def barrel_roll(x, s):
+            """Global cyclic left-roll: out[p] = x[(p + s) mod N], s traced
+            in [0, N).  ceil(log2 D) + 1 static ppermutes of one shard."""
+            q = s // m
+            t = s % m
+            y = dev_roll(x, q)
+            nxt = jax.lax.ppermute(
+                y, "lanes", [((d + 1) % D, d) for d in range(D)]
+            )
+            return jax.lax.dynamic_slice(
+                jnp.concatenate([y, nxt]), (t,), (m,)
+            )
+
+        def shifted_rank(rank_pos, k):
+            """rank[(p + k) mod n] per local position p (garbage on pads).
+            Two barrel rolls: the main shift by k, plus a head roll that
+            patches the mod-n wrap tail (positions p >= n - k)."""
+            v1 = barrel_roll(rank_pos, k)
+            v2 = barrel_roll(rank_pos, k - n + N)
+            return jnp.where(idx >= n - k, v2, v1)
+
+        def to_position_space(sidx, rank_sorted):
+            """Sorted-space ranks -> position space: distributed sort by
+            position.  Positions are dealt evenly, so device d ends up
+            holding exactly ranks for positions [d*m, (d+1)*m)."""
+            si, rp = jax.lax.sort(
+                (sidx, rank_sorted), num_keys=1, is_stable=False
+            )
+            _si, rp = _merge_split_sort((si, rp), "lanes", D, num_keys=1)
+            return rp
 
         def relabel(k1, k2):
             """Positional ranks for sorted shards (rank = global slot of
@@ -162,9 +219,9 @@ def bwt_rotations_sharded(
                 [_edge(k2[-1:], "lanes", right_perm, me > 0, 0)[None],
                  k2[:-1]]
             )
-            is_head = (k1 != pk1) | (k2 != pk2) | (gslot == 0)
+            is_head = (k1 != pk1) | (k2 != pk2) | (idx == 0)
             local_head = jax.lax.cummax(
-                jnp.where(is_head, gslot, -1), axis=0
+                jnp.where(is_head, idx, -1), axis=0
             )
             carry = _carry_max(local_head[-1], "lanes", D)
             rank_sorted = jnp.maximum(local_head, carry)
@@ -186,15 +243,20 @@ def bwt_rotations_sharded(
             )
             return rank_sorted, unres, groups
 
-        def replicate_rank(sidx, rank_sorted):
-            # all_gather the (idx, rank) pairs, scatter into idx order.
-            # O(N) received + an O(N) local scatter per round: the price
-            # of keeping every shifted-rank lookup local.
-            gi = jax.lax.all_gather(sidx, "lanes").reshape(-1)
-            gr = jax.lax.all_gather(rank_sorted, "lanes").reshape(-1)
-            return jnp.zeros(N, jnp.int32).at[gi].set(gr)
+        # ---- Round 0: 3-byte packed prefix, halo-exchanged ------------------
+        # Keys read <= 2 bytes past the shard: the right neighbour's first
+        # 2 bytes, plus the global head b[0:2] for the <= 2 lanes whose
+        # prefix wraps past n (they sit just below position n).
+        tail2 = jax.lax.ppermute(b32[:2], "lanes", left_perm)
+        tail2 = jnp.where(me < D - 1, tail2, 0)
+        head2 = jax.lax.all_gather(b32[:2], "lanes")[0]
+        ext = jnp.concatenate([b32, tail2, head2])          # [m + 4]
 
-        # ---- Round 0: 3-byte packed prefix --------------------------------
+        def bref(off: int):
+            wrap = valid & (idx + off >= n)                 # off <= 2
+            j = jnp.where(wrap, m + 2 + (idx + off - n), il + off)
+            return ext[j]
+
         key0 = jnp.where(
             valid, (bref(0) << 16) | (bref(1) << 8) | bref(2), _PAD
         )
@@ -206,59 +268,69 @@ def bwt_rotations_sharded(
             (k1, k2, sidx), "lanes", D, num_keys=2
         )
         rank_sorted, unres, groups = relabel(k1, k2)
-        rank_rep = replicate_rank(sidx, rank_sorted)
+        rank_pos = to_position_space(sidx, rank_sorted)
 
-        # ---- Doubling rounds ----------------------------------------------
+        # ---- Doubling rounds ------------------------------------------------
         def body(state):
-            k, _rank_rep, _sidx, unres, groups, _cont = state
-            r0 = jnp.where(
-                valid,
-                jax.lax.dynamic_slice(_rank_rep, (me * m,), (m,))
-                .astype(jnp.uint32),
-                _PAD,
+            k, rank_pos, unres, groups, _cont = state
+            r0 = jnp.where(valid, rank_pos.astype(jnp.uint32), _PAD)
+            r1 = jnp.where(
+                valid, shifted_rank(rank_pos, k).astype(jnp.uint32), 0
             )
-            j = jnp.where(n > 0, (idx + k) % n, 0)
-            r1 = jnp.where(valid, _rank_rep[j], 0).astype(jnp.uint32)
-            s1, s2, sidx = jax.lax.sort(
+            s1, s2, sidx2 = jax.lax.sort(
                 (r0, r1, idx), num_keys=2, is_stable=False
             )
-            s1, s2, sidx = _merge_split_sort(
-                (s1, s2, sidx), "lanes", D, num_keys=2
+            s1, s2, sidx2 = _merge_split_sort(
+                (s1, s2, sidx2), "lanes", D, num_keys=2
             )
             rank_sorted, unres2, groups2 = relabel(s1, s2)
-            rank_rep2 = replicate_rank(sidx, rank_sorted)
+            rank_pos2 = to_position_space(sidx2, rank_sorted)
             k2x = k * 2
             # Stalled <=> no lane resolved AND no tie group split (a round
             # can split a group into smaller multi-groups without changing
-            # the lane count — progress the count alone misses; see the
+            # the lane count — progress via the count alone misses; see the
             # single-chip guard in ops/bwt.py full_round).  Then remaining
             # ties are identical rotations (periodic input): done.
             stalled = (unres2 == unres) & (groups2 == groups)
             done = (unres2 == 0) | stalled | (k2x >= n)
             return (
-                k2x, rank_rep2, sidx, unres2, groups2,
+                k2x, rank_pos2, unres2, groups2,
                 jnp.where(done, 0, 1).astype(jnp.int32),
             )
 
         cont0 = jnp.where((unres == 0) | (3 >= n), 0, 1).astype(jnp.int32)
-        state = (jnp.int32(3), rank_rep, sidx, unres, groups, cont0)
-        state = jax.lax.while_loop(lambda s: s[5] > 0, body, state)
-        _, rank_rep, sidx, _, _, _ = state
+        state = (jnp.int32(3), rank_pos, unres, groups, cont0)
+        state = jax.lax.while_loop(lambda s: s[4] > 0, body, state)
+        rank_pos = state[1]
 
-        # ---- Extraction ----------------------------------------------------
-        # The final sorted-slot shards order the rotations; identical-
-        # rotation ties carry identical preceding bytes, so tie order in
-        # sidx is harmless.  ptr: positional ranks ARE sorted slots, so
-        # rotation 0's slot is just its rank.
-        pj = jnp.where(n > 0, (sidx + n - 1) % n, 0)
-        bwt_shard = jnp.where(sidx < n, block_rep[pj], 0).astype(jnp.uint8)
-        ptr = rank_rep[0]
+        # ---- Extraction ------------------------------------------------------
+        # In position space the preceding byte is a 1-byte left halo (plus
+        # b[n-1] for rotation 0, fetched with a psum since its home device
+        # is data-dependent).  Sorted slots come from one more distributed
+        # 1-operand sort by rank: tied (identical) rotations share a rank
+        # and land in arbitrary order across their slots, which is
+        # harmless — they carry identical preceding bytes.
+        left1 = _edge(b32[-1:], "lanes", right_perm, me > 0, 0)
+        prevb = jnp.concatenate([left1[None], b32[:-1]])
+        bn1 = jax.lax.psum(
+            jnp.sum(jnp.where(idx == n - 1, b32, 0)), "lanes"
+        )
+        prevb = jnp.where(idx == 0, bn1, prevb)
+        rb = jnp.where(
+            valid, (rank_pos << 8) | prevb.astype(jnp.int32), _PADI
+        )
+        (rb,) = jax.lax.sort((rb,), num_keys=1, is_stable=False)
+        (rb,) = _merge_split_sort((rb,), "lanes", D, num_keys=1)
+        bwt_shard = (rb & 0xFF).astype(jnp.uint8)
+        ptr = jax.lax.psum(
+            jnp.sum(jnp.where(idx == 0, rank_pos, 0)), "lanes"
+        )
         return bwt_shard, ptr[None]
 
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P("lanes"), P()),
         out_specs=(P("lanes"), P("lanes")),
         check_vma=False,
     )

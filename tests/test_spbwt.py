@@ -148,3 +148,54 @@ def test_sharded_oracle_roundtrip():
     ref_bwt, ref_ptr = naive_bwt(data)
     assert int(got_ptr) == ref_ptr
     assert bytes(np.asarray(got_bwt)[: len(data)]) == bytes(ref_bwt)
+
+
+def test_sharded_million_lanes_and_memory_scaling():
+    """The long-context claims, measured (VERDICT r3 item 6):
+
+    1. correctness at 1M lanes (beyond any bzip2 block size) against the
+       independent numpy prefix-doubling oracle;
+    2. per-device memory ∝ N/D: the compiled TOTAL temp footprint must
+       stay ~flat when the same N is spread over twice the devices (the
+       old replicated-input design doubled it — every device held O(N)).
+    """
+    from functools import partial
+
+    import jax
+
+    from banzai_tpu.oracle.stages import numpy_bwt
+    from banzai_tpu.parallel.spbwt import bwt_rotations_sharded, lane_mesh
+
+    N = 1 << 20
+    rng = np.random.default_rng(11)
+    n = N - 777
+    block = np.zeros(N, np.uint8)
+    # Mixed content: text-ish low entropy + a periodic stretch.
+    block[: n // 2] = rng.integers(32, 90, n // 2, dtype=np.uint8)
+    per = np.frombuffer(b"ripple" * (n // 12), np.uint8)
+    block[n // 2 : n // 2 + len(per)] = per
+    block[n // 2 + len(per) : n] = rng.integers(0, 256, n - n // 2 - len(per), dtype=np.uint8)
+
+    mesh8 = lane_mesh(jax.devices()[:8])
+    got_b, got_p = bwt_rotations_sharded(
+        jnp.asarray(block), jnp.int32(n), mesh=mesh8
+    )
+    ref_b, ref_p = numpy_bwt(block[:n])
+    assert int(got_p) == int(ref_p)
+    assert bytes(np.asarray(got_b)[:n]) == bytes(ref_b)
+
+    def temp_bytes(ndev: int) -> int:
+        mesh = lane_mesh(jax.devices()[:ndev])
+        f = jax.jit(partial(bwt_rotations_sharded, mesh=mesh))
+        c = f.lower(
+            jax.ShapeDtypeStruct((N,), jnp.uint8),
+            jax.ShapeDtypeStruct((), jnp.int32),
+        ).compile()
+        return int(c.memory_analysis().temp_size_in_bytes)
+
+    t4, t8 = temp_bytes(4), temp_bytes(8)
+    # Flat total (= per-device ∝ N/D).  Replicated designs give t8 ≈ 2*t4.
+    assert t8 < 1.5 * t4, (t4, t8)
+    # Absolute sanity: a handful of int32 arrays over the whole problem,
+    # not D copies of them.
+    assert t8 < 40 * N, (t8, N)

@@ -66,10 +66,15 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # Tier widths.  Measured on this chip: a tier round's random gathers
     # + scatter-back cost ~4x a full-width sort round per lane touched, so
     # wide tiers lose — entering the cascade at N/2 to skip full rounds
-    # was 2x SLOWER end-to-end (28.8 vs 7.7+6.8 ms/block on text).  N/8
-    # is the sweet spot: full-width octupling rounds burn down the dense
-    # phase, tiers take the sparse tail.
-    W1 = min(max(N // 8, 1024), N)
+    # was 2x SLOWER end-to-end (28.8 vs 7.7+6.8 ms/block on text).  Full-
+    # width octupling rounds burn down the dense phase, tiers take the
+    # sparse tail.  W1 sizing: the post-full-round live count on text
+    # measured 5.8-6.7% of n across the bench blocks (round-structure
+    # replay, tools/, 2026-08-20), so N/14 fits it with margin while
+    # paying ~half the per-round gather+sort of the old N/8; a corpus
+    # that lands in (N/14, N/8] just runs one more octupling full round
+    # (comparable cost to the tier round it replaces).
+    W1 = min(max(N // 14, 1024), N)
     W2 = min(max(N // 32, 512), W1)
     W3 = min(max(N // 128, 256), W2)
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -306,12 +311,18 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     ckey = jnp.where(multi & valid, idx, _PAD_RANK)
     (ck_s,) = _sort((ckey,), num_keys=1)
 
-    _MULTS = 7  # compact rounds *octuple* k: offsets k..7k in one fused
-    # gather + one 8-key sort — coverage per round doubles vs quadrupling
-    # for the same total gather lanes, halving the per-round fixed costs
-    # (sort dispatch, scatter-back, loop overhead).
+    # Compact rounds multiply k by (mults + 1) per round: offsets k..mults*k
+    # in one fused gather + one (mults+1)-key sort.  Octupling (mults=7)
+    # doubles coverage per round vs quadrupling for the same total gather
+    # lanes, halving the per-round fixed costs (sort dispatch,
+    # scatter-back, loop overhead).  The NARROW tail tiers push mults
+    # higher still (15, 31): their gathers are tiny, so buying 16x/32x
+    # coverage per round cuts the round count — the long-repeat tail
+    # (LCPs into the hundreds of KB) otherwise pays ~4 fixed-overhead
+    # rounds to walk k from ~1k to n.
+    _MULTS = 7
 
-    def make_tier(W: int):
+    def make_tier(W: int, mults: int = _MULTS):
         j2 = jnp.arange(W, dtype=jnp.int32)
 
         def tier_body(st):
@@ -319,18 +330,18 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
             live = c_head < _PAD_RANK
             ext = jnp.concatenate([rank, jnp.zeros(1, jnp.int32)])
 
-            # All shifted-rank lookups ride ONE gather of _MULTS*W lanes.
-            mults = jnp.arange(1, _MULTS + 1, dtype=jnp.int32)
-            j = c_pos[None, :] + mults[:, None] * k
+            # All shifted-rank lookups ride ONE gather of mults*W lanes.
+            marange = jnp.arange(1, mults + 1, dtype=jnp.int32)
+            j = c_pos[None, :] + marange[:, None] * k
             j = jnp.where(n > 0, j % n, 0)
             j = jnp.where(live[None, :], j, N)
             gs = jnp.where(
-                live[None, :], ext[j.reshape(-1)].reshape(_MULTS, W),
+                live[None, :], ext[j.reshape(-1)].reshape(mults, W),
                 _PAD_RANK,
             )
 
             sorted_ops = _sort(
-                (c_head, *tuple(gs), c_pos), num_keys=1 + _MULTS
+                (c_head, *tuple(gs), c_pos), num_keys=1 + mults
             )
             h_s = sorted_ops[0]
             p_s = sorted_ops[-1]
@@ -370,7 +381,7 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
             nsub = jnp.sum((is_start & live_s).astype(jnp.int32))
             nsingle = jnp.sum(single.astype(jnp.int32))
             unres2 = jnp.sum(live_s.astype(jnp.int32)) - nsingle
-            knext = k * (_MULTS + 1)
+            knext = k * (mults + 1)
             # nsub == live_groups entering <=> no live group split.
             done = (unres2 == 0) | (nsub == live_groups) | (knext >= n)
             return (knext, rank2, p_s, c_head2, nsub - nsingle, done)
@@ -412,10 +423,15 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
             lambda s: ~s[5] & (_live(s[3]) > W3), make_tier(W2), st
         )
 
-    # Tier 3 (W3): run to completion.
+    # Tier 3 (W3): run to completion with 16x coverage per round (the
+    # long-repeat tail has LCPs into the hundreds of KB; a narrow tier's
+    # cost is per-ROUND fixed overhead, not width, so higher multiplicity
+    # cuts rounds for ~free at this width.  A separate 32x W4=1024 tier
+    # was measured and REVERTED: +0.9 ms/block — one more repack + loop
+    # shell costs more than its narrower gathers save).
     with jax.named_scope("bwt_tier3"):
         st = repack(st, W3)
-        st = jax.lax.while_loop(lambda s: ~s[5], make_tier(W3), st)
+        st = jax.lax.while_loop(lambda s: ~s[5], make_tier(W3, 15), st)
     rank = st[1]
 
     # Extract the BWT column by sorting the preceding-byte payload by final

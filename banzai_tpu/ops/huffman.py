@@ -174,7 +174,11 @@ def selector_mtf(sel: jax.Array, nseg_used: jax.Array) -> tuple[jax.Array, jax.A
         ],
         axis=-2,
     )                                                   # exclusive
-    prev = jnp.take_along_axis(last, sel[..., :, None], axis=-1)[..., 0]
+    # last[..., seg, sel[seg]] — a one-hot contraction over the tiny T
+    # axis, not take_along_axis: the per-lane gather measured ~1 ms/block
+    # at [NSEG, T] widths where the select+sum fuses into neighbours.
+    sel_onehot = sel[..., :, None] == t_ids
+    prev = jnp.sum(jnp.where(sel_onehot, last, 0), axis=-1)
     seen = last >= 0
     idx_seen = jnp.sum(
         (last > prev[..., None]).astype(jnp.int32), axis=-1

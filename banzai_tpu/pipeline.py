@@ -545,6 +545,24 @@ def compress_blocks_iter(
         return not drain_exc
 
     def produce() -> None:
+        # The FIRST dispatch is a SMALL batch shipped un-windowed: the
+        # device sits idle until the first upload arrives, and that fill
+        # edge is RLE1 + staging + upload of everything in front of it
+        # (a full-batch first dispatch measured ~120 ms of a 1.12 s
+        # 20 MB wall; a 4-batch window made it worse).  A quarter batch
+        # starts the device ~4x sooner; its slightly worse per-block
+        # vmap efficiency is confined to those few blocks.  Hardness
+        # grouping only matters for straggler mixing across MANY
+        # batches, so it loses nothing by skipping the pipe fillers.
+        small = max(1, batch // 4) if not sharded else batch
+        for b0 in (small, batch):
+            t0 = _time.perf_counter()
+            first = list(itertools.islice(tagged_iter, b0))
+            _t("rle1_iter", t0)
+            if not first:
+                return
+            if not dispatch(first):
+                return
         while True:
             t0 = _time.perf_counter()
             window = list(itertools.islice(tagged_iter, batch * sort_window))

@@ -423,15 +423,14 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
             lambda s: ~s[5] & (_live(s[3]) > W3), make_tier(W2), st
         )
 
-    # Tier 3 (W3): run to completion with 16x coverage per round (the
-    # long-repeat tail has LCPs into the hundreds of KB; a narrow tier's
-    # cost is per-ROUND fixed overhead, not width, so higher multiplicity
-    # cuts rounds for ~free at this width.  A separate 32x W4=1024 tier
-    # was measured and REVERTED: +0.9 ms/block — one more repack + loop
-    # shell costs more than its narrower gathers save).
+    # Tier 3 (W3): run to completion.  Higher-multiplicity tails were
+    # measured and REVERTED: 16x coverage here cost +0.5 ms/block (17
+    # sort operands at 7K lanes are dispatch-bound) and a separate 32x
+    # W4=1024 tier cost +0.9 (one more repack + loop shell) — the tail
+    # is fixed-overhead-bound and octupling is already its sweet spot.
     with jax.named_scope("bwt_tier3"):
         st = repack(st, W3)
-        st = jax.lax.while_loop(lambda s: ~s[5], make_tier(W3, 15), st)
+        st = jax.lax.while_loop(lambda s: ~s[5], make_tier(W3), st)
     rank = st[1]
 
     # Extract the BWT column by sorting the preceding-byte payload by final

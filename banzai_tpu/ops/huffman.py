@@ -131,8 +131,22 @@ def pm_lengths(freqs: jax.Array, num_syms: jax.Array) -> jax.Array:
     return jnp.where(sym_ids < num_syms, lens, 0)
 
 
+# Ragged candidate-table packing: the 2..6-table candidates' LIVE tables
+# flatten onto one [_K] axis (col k belongs to candidate _COL_CAND[k],
+# table _COL_TABLE[k]; candidate c owns cols [_COL_LO[c], _COL_LO[c+1])).
+# The old [NC, T] = [5, 6] batch carried 10 dead tables through every
+# package-merge level sort — pm is the dominant fixed per-block cost
+# (measured 1.70 ms/block = 29% of the whole device pipeline at level 1).
+_K = sum(NT_CANDIDATES)                                       # 20
+_COL_CAND = np.concatenate(
+    [np.full(nt, ci) for ci, nt in enumerate(NT_CANDIDATES)]
+)
+_COL_TABLE = np.concatenate([np.arange(nt) for nt in NT_CANDIDATES])
+_COL_LO = np.concatenate([[0], np.cumsum(NT_CANDIDATES)])
+
+
 def initial_tables(freqs: jax.Array, num_syms: jax.Array) -> jax.Array:
-    """Initial partition lengths for every candidate: int32 [NC, T, S].
+    """Initial partition lengths, ragged-packed: int32 [_K, S].
 
     Symbol s goes to table floor(cumfreq_incl(s)-1) * nt / total; in-range
     symbols cost 0, others 15 (the cheap-in-range variant; shared rule with
@@ -148,10 +162,11 @@ def initial_tables(freqs: jax.Array, num_syms: jax.Array) -> jax.Array:
             (jnp.maximum(cum - 1, 0) * nt) // total, 0, nt - 1
         )
         tbl = jnp.where(
-            owner[None, :] == jnp.arange(T, dtype=jnp.int32)[:, None], 0, 15
+            owner[None, :] == jnp.arange(nt, dtype=jnp.int32)[:, None],
+            0, 15,
         )
         out.append(tbl)
-    return jnp.stack(out).astype(jnp.int32)      # [NC, T, S]
+    return jnp.concatenate(out).astype(jnp.int32)            # [_K, S]
 
 
 def selector_mtf(sel: jax.Array, nseg_used: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -215,39 +230,75 @@ def plan_entropy_device(
     freqs = jnp.sum(hist, axis=0).astype(jnp.int32)
     nseg_used = (out_len + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
 
-    # --- refinement for the candidate table counts, batched ---------------
-    tables = initial_tables(freqs, num_syms).astype(jnp.float32)  # [NC,T,S]
-    nt_arr = jnp.asarray(NT_CANDIDATES, dtype=jnp.int32)          # [NC]
-    valid_t = jnp.arange(T, dtype=jnp.int32)[None, :] < nt_arr[:, None]
-    sel = None
-    for _ in range(4):
-        costs = jnp.einsum("sa,cta->cst", hist, tables)           # [5,NSEG,T]
-        costs = costs + jnp.where(valid_t[:, None, :], 0.0, _BIG)
-        sel = jnp.argmin(costs, axis=-1).astype(jnp.int32)        # [5,NSEG]
-        onehot = jax.nn.one_hot(sel, T, dtype=jnp.float32)        # [5,NSEG,T]
-        tf = jnp.einsum("cst,sa->cta", onehot, hist)              # [5,T,S]
-        tables = pm_lengths(
-            tf.astype(jnp.int32), num_syms
-        ).astype(jnp.float32)
-    tables_i = tables.astype(jnp.int32)                           # [5,T,S]
+    # --- refinement for the candidate table counts, ragged-batched --------
+    # All candidates' live tables share one [_K, S] axis; the final
+    # iteration's pm batch carries the single-table plan's optimal table
+    # as row _K, so the whole search runs 3x[_K] + 1x[_K+1] pm instances
+    # instead of the old 4x[NC*T] + 1 (44% fewer pm lanes — pm is the
+    # plan stage's dominant cost).  Per-candidate argmins are static
+    # column slices: identical tie semantics to the old masked argmin
+    # (first-wins within the candidate's own columns).
+    tables = initial_tables(freqs, num_syms).astype(jnp.float32)  # [K,S]
+    col_cand = jnp.asarray(_COL_CAND, dtype=jnp.int32)
+    col_table = jnp.asarray(_COL_TABLE, dtype=jnp.int32)
+    NC = len(NT_CANDIDATES)
+    sel = tf = single = None
+    for it in range(4):
+        costs = hist @ tables.T                                   # [NSEG,K]
+        sel = jnp.stack([
+            jnp.argmin(
+                jax.lax.slice(
+                    costs, (0, int(_COL_LO[ci])),
+                    (costs.shape[0], int(_COL_LO[ci + 1])),
+                ),
+                axis=-1,
+            ).astype(jnp.int32)
+            for ci in range(NC)
+        ])                                                        # [NC,NSEG]
+        onehot = (
+            sel[col_cand] == col_table[:, None]
+        ).astype(jnp.float32)                                     # [K,NSEG]
+        tf = onehot @ hist                                        # [K,S]
+        pm_in = tf.astype(jnp.int32)
+        if it == 3:
+            pm_in = jnp.concatenate([pm_in, freqs[None]])         # + single
+        lens = pm_lengths(pm_in, num_syms)
+        tables = lens[:_K].astype(jnp.float32)
+        if it == 3:
+            single = lens[_K]                                     # [S]
+    tables_i = tables.astype(jnp.int32)                           # [K,S]
 
-    sel_idx, sel_bits = selector_mtf(sel, nseg_used)              # [5,...]
-    # nt-dependent table-def cost: only tables t < nt are emitted.
-    d = jnp.abs(tables_i[..., 1:] - tables_i[..., :-1])
-    d = jnp.where(jnp.arange(1, S, dtype=jnp.int32)[None, None, :] < num_syms, d, 0)
-    per_table = 5 + num_syms + 2 * jnp.sum(d, axis=-1)            # [5,T]
-    delta_bits = jnp.sum(jnp.where(valid_t, per_table, 0), axis=-1)
-    sel_onehot = jax.nn.one_hot(sel, T, dtype=jnp.float32)
-    payload = jnp.einsum(
-        "sa,cta,cst->c", hist, tables, sel_onehot
-    ).astype(jnp.int32)
-    bits_multi = sel_bits + delta_bits + payload                  # [5]
+    sel_idx, sel_bits = selector_mtf(sel, nseg_used)              # [NC,...]
+    # Table-def cost per column, summed per candidate.
+    d = jnp.abs(tables_i[:, 1:] - tables_i[:, :-1])
+    d = jnp.where(
+        jnp.arange(1, S, dtype=jnp.int32)[None, :] < num_syms, d, 0
+    )
+    per_col = 5 + num_syms + 2 * jnp.sum(d, axis=-1)              # [K]
+    # Payload per column: sum(tf * lens) — tf IS the final selection's
+    # per-table histogram, so no [NSEG]-wide einsum is needed.
+    pay_col = jnp.sum(tf * tables, axis=-1)                       # [K]
+    delta_bits = jnp.stack([
+        jnp.sum(
+            jax.lax.slice(per_col, (int(_COL_LO[ci]),),
+                          (int(_COL_LO[ci + 1]),))
+        )
+        for ci in range(NC)
+    ])
+    payload = jnp.stack([
+        jnp.sum(
+            jax.lax.slice(pay_col, (int(_COL_LO[ci]),),
+                          (int(_COL_LO[ci + 1]),))
+        )
+        for ci in range(NC)
+    ]).astype(jnp.int32)
+    bits_multi = sel_bits + delta_bits + payload                  # [NC]
 
     # --- single-table candidate -------------------------------------------
     # Selectors never leave table 0; the mandatory second table is a
     # constant all-15s dummy (cheapest delta coding: 5 + num_syms bits),
-    # matching huffman_host.plan_entropy bit-for-bit.
-    single = pm_lengths(freqs.astype(jnp.int32), num_syms)        # [S]
+    # matching huffman_host.plan_entropy bit-for-bit.  Its optimal table
+    # rode the final pm batch above as row _K.
     sym_ids2 = jnp.arange(S, dtype=jnp.int32)
     dummy = jnp.where(sym_ids2 < num_syms, 15, 0).astype(jnp.int32)
     stables = jnp.concatenate(
@@ -276,11 +327,26 @@ def plan_entropy_device(
     b_split = banzai_split_device(hist, freqs, out_len, num_syms)
 
     # --- pick the winner ---------------------------------------------------
-    all_bits = jnp.concatenate([bits_single[None], bits_multi])  # [NC]
+    all_bits = jnp.concatenate([bits_single[None], bits_multi])  # [NC+1]
     win = jnp.argmin(all_bits)
-    all_nt = jnp.concatenate([jnp.array([2], jnp.int32), nt_arr])
-    all_tables = jnp.concatenate([stables[None], tables_i])      # [NC,T,S]
-    all_sel = jnp.concatenate([s_sel[None], sel])                # [NC,NSEG]
+    all_nt = jnp.concatenate([
+        jnp.array([2], jnp.int32),
+        jnp.asarray(NT_CANDIDATES, dtype=jnp.int32),
+    ])
+    # Un-flatten each candidate's rows back to a padded [T, S] block for
+    # the bit packer (tiny static slices; only the winner is read).
+    cand_tables = jnp.stack([
+        jnp.concatenate([
+            jax.lax.slice(
+                tables_i, (int(_COL_LO[ci]), 0),
+                (int(_COL_LO[ci + 1]), S),
+            ),
+            jnp.zeros((T - nt, S), jnp.int32),
+        ])
+        for ci, nt in enumerate(NT_CANDIDATES)
+    ])                                                           # [NC,T,S]
+    all_tables = jnp.concatenate([stables[None], cand_tables])
+    all_sel = jnp.concatenate([s_sel[None], sel])                # [.,NSEG]
     all_idx = jnp.concatenate([s_idx[None], sel_idx])
     return {
         "num_tables": all_nt[win],

@@ -24,7 +24,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def run_trace(batch: int, quiet: bool = False) -> str:
+def run_trace(batch: int, quiet: bool = False, level: int = 9) -> str:
     import jax
     import jax.numpy as jnp
 
@@ -35,12 +35,12 @@ def run_trace(batch: int, quiet: bool = False) -> str:
     )
     from banzai_tpu.rle1 import iter_blocks
 
-    N = _padded_len(9)
+    N = _padded_len(level)
     nseg = (N + 1 + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
     nwords = _nwords(N, nseg)
     corpus = build_corpus()
     blocks = []
-    for blk in iter_blocks(corpus, 9):
+    for blk in iter_blocks(corpus, level):
         blocks.append(blk)
         if len(blocks) == batch:
             break
@@ -147,7 +147,8 @@ def analyze(path: str, batch: int, top: int = 30) -> None:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--level", type=int, default=9)
     ap.add_argument("--analyze-only", default=None)
     args = ap.parse_args()
-    p = args.analyze_only or run_trace(args.batch)
+    p = args.analyze_only or run_trace(args.batch, level=args.level)
     analyze(p, args.batch)

@@ -75,8 +75,7 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # that lands in (N/14, N/8] just runs one more octupling full round
     # (comparable cost to the tier round it replaces).
     W1 = min(max(N // 14, 1024), N)
-    W2 = min(max(N // 32, 512), W1)
-    W3 = min(max(N // 128, 256), W2)
+    W3 = min(max(N // 128, 256), W1)
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = idx < n
     zeros = jnp.zeros(N, jnp.int32)
@@ -404,7 +403,7 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     st = (k, rank, c_pos1, c_head1, live_groups, done)
     with jax.named_scope("bwt_tier1"):
         st = jax.lax.while_loop(
-            lambda s: ~s[5] & (_live(s[3]) > W2), make_tier(W1), st
+            lambda s: ~s[5] & (_live(s[3]) > W3), make_tier(W1), st
         )
 
     # Tier switches must re-pack live lanes to the front: a tier round only
@@ -416,12 +415,13 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
         h2, p2 = _sort((st[3], st[2]), num_keys=1)
         return (st[0], st[1], p2[:W], h2[:W], st[4], st[5])
 
-    # Tier 2 (W2).
-    with jax.named_scope("bwt_tier2"):
-        st = repack(st, W2)
-        st = jax.lax.while_loop(
-            lambda s: ~s[5] & (_live(s[3]) > W3), make_tier(W2), st
-        )
+    # No middle tier: the measured live-lane curve (round-structure
+    # replay, 2026-08-20) jumps from ~6% of n straight to <= W3 after ONE
+    # tier-1 round on every corpus tried, so a W2 = N/32 tier never ran
+    # its body yet cost ~1.6 ms/block in repack + vmapped loop shell
+    # (max-trip semantics bill every block for the shell).  A block that
+    # does land in (W3, W1] live lanes simply takes one more W1-width
+    # round — rarer and cheaper than the shell was.
 
     # Tier 3 (W3): run to completion.  Higher-multiplicity tails were
     # measured and REVERTED: 16x coverage here cost +0.5 ms/block (17

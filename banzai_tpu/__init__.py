@@ -155,10 +155,50 @@ def encode_file(input_path: str, output_path: str, level: int = 9) -> None:
         encode(fin, fout, level)
 
 
-def _jax_usable() -> bool:
-    try:
-        import jax  # noqa: F401
+_JAX_PROBE: bool | None = None
 
-        return True
+
+def _jax_usable() -> bool:
+    """True iff the JAX backend can actually initialize.
+
+    ``import jax`` succeeding is not enough: an accelerator backend that
+    imports but cannot reach its device (e.g. a dead remote-TPU tunnel —
+    a failure mode this environment has really produced) hangs or raises
+    only at first device use, deep inside the pipeline, after output has
+    started.  Probe ``jax.devices()`` once per process with a timeout and
+    cache the verdict; on timeout/failure every ``backend="auto"`` entry
+    point falls back to the byte-identical NumPy backend (slower, but the
+    stream is valid).  The reference never needed this — it has no
+    accelerator — but its CLI's exit-code contract
+    (bnz/src/main.rs:11-14) implies "never traceback, never corrupt".
+    """
+    global _JAX_PROBE
+    if _JAX_PROBE is None:
+        _JAX_PROBE = _probe_jax_backend()
+    return _JAX_PROBE
+
+
+def _probe_jax_backend() -> bool:
+    try:
+        import jax
     except Exception:
         return False
+    import threading
+
+    # Backend init HANGS (not errors) when the device tunnel is down, so
+    # the probe runs in a daemon thread under a timeout (same reasoning
+    # as bench.py's subprocess probe, but threads skip the ~seconds-long
+    # second jax import on the healthy path).  On timeout the zombie
+    # thread is abandoned; we never touch jax device state again.
+    ok: list[bool] = []
+
+    def probe() -> None:
+        try:
+            ok.append(bool(jax.devices()))
+        except Exception:
+            ok.append(False)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(float(os.environ.get("BANZAI_PROBE_TIMEOUT", "60")))
+    return bool(ok) and ok[0]

@@ -264,6 +264,19 @@ def main(argv: list[str] | None = None) -> int:
         print(f"bnz: error during compression: {e}", file=sys.stderr)
         _drop_partial()
         return EXIT_OUTPUT_IO
+    except KeyboardInterrupt:
+        _drop_partial()
+        raise
+    except Exception as e:
+        # Non-IO failure mid-encode (e.g. an accelerator runtime dying
+        # after backend selection): same contract as an IO failure — one
+        # clean line, no partial output file, exit 3.  Without this, a
+        # RuntimeError printed a traceback, left a truncated .bz2 behind,
+        # and exited 1 (EXIT_USAGE's code) — violating the exit-code
+        # fidelity promised above (bnz/src/main.rs:11-14).
+        print(f"bnz: error during compression: {e}", file=sys.stderr)
+        _drop_partial()
+        return EXIT_OUTPUT_IO
     finally:
         if close_reader:
             reader.close()

@@ -390,6 +390,10 @@ def write_entropy(
     bw: BitWriter, syms: np.ndarray, plan: EntropyPlan
 ) -> None:
     bw.write_bits(plan.num_tables, 3)
+    # 15-bit format field (lib/huffman.rs:470); level 9's max is ~18,003
+    # segments (900,096/50) — guard the edge so a capacity change can't
+    # silently wrap it.
+    assert len(plan.selectors) < (1 << 15), "num_selectors overflows 15 bits"
     bw.write_bits(len(plan.selectors), 15)
     write_selectors(bw, plan.selectors.tolist(), plan.num_tables)
     code_words = []

@@ -132,6 +132,12 @@ def block_payload_entries(
     """Build the (vals, lens) entry arrays for one block's entropy payload."""
     M = syms.shape[0]
     nseg = selectors.shape[0]
+    # num_selectors is a 15-bit format field (lib/huffman.rs:470): the
+    # static segment capacity bounds nseg_used, so guard it at trace time
+    # — a future block-capacity change past 32767*50 symbols would wrap
+    # the field and corrupt the stream silently (the bzip2 -d oracle
+    # would only catch it after the fact).
+    assert nseg < (1 << 15), f"num_selectors capacity {nseg} overflows 15 bits"
 
     # -- header: num_tables (3), num_selectors (15) -------------------------
     h_vals = jnp.stack([num_tables, nseg_used]).astype(jnp.uint32)

@@ -314,11 +314,12 @@ def bwt_rotations(block: jax.Array, n: jax.Array) -> tuple[jax.Array, jax.Array]
     # in one fused gather + one (mults+1)-key sort.  Octupling (mults=7)
     # doubles coverage per round vs quadrupling for the same total gather
     # lanes, halving the per-round fixed costs (sort dispatch,
-    # scatter-back, loop overhead).  The NARROW tail tiers push mults
-    # higher still (15, 31): their gathers are tiny, so buying 16x/32x
-    # coverage per round cuts the round count — the long-repeat tail
-    # (LCPs into the hundreds of KB) otherwise pays ~4 fixed-overhead
-    # rounds to walk k from ~1k to n.
+    # scatter-back, loop overhead).  Higher multipliers for the narrow
+    # tail (15, 31) were measured and REVERTED in round 4: the tail tiers
+    # are bound by per-round fixed overhead (repack + vmapped loop
+    # shell), not width, so 16x/32x coverage bought nothing (+0.5 to
+    # +0.9 ms/block).  Every call site uses the default; the ``mults``
+    # parameter stays for experiments.
     _MULTS = 7
 
     def make_tier(W: int, mults: int = _MULTS):

@@ -125,7 +125,7 @@ def compact_stream(
             pl.BlockSpec((n_tiles,), lambda t: (0,),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((tile,), jnp.int32),
             pltpu.SemaphoreType.DMA,

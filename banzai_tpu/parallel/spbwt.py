@@ -316,12 +316,26 @@ def bwt_rotations_sharded(
             jnp.sum(jnp.where(idx == n - 1, b32, 0)), "lanes"
         )
         prevb = jnp.where(idx == 0, bn1, prevb)
-        rb = jnp.where(
-            valid, (rank_pos << 8) | prevb.astype(jnp.int32), _PADI
-        )
-        (rb,) = jax.lax.sort((rb,), num_keys=1, is_stable=False)
-        (rb,) = _merge_split_sort((rb,), "lanes", D, num_keys=1)
-        bwt_shard = (rb & 0xFF).astype(jnp.uint8)
+        if N < (1 << 22):
+            # Packed single-operand fast path: (rank << 8) | prev_byte.
+            # Valid only while keys stay below the _PADI = 2^30 sentinel,
+            # i.e. rank < 2^22 — guaranteed by n <= N (static).  Beyond
+            # that the packed key would first collide with the sentinel
+            # (n >= 2^22) and then overflow int32 (n >= 2^23).
+            rb = jnp.where(
+                valid, (rank_pos << 8) | prevb.astype(jnp.int32), _PADI
+            )
+            (rb,) = jax.lax.sort((rb,), num_keys=1, is_stable=False)
+            (rb,) = _merge_split_sort((rb,), "lanes", D, num_keys=1)
+            bwt_shard = (rb & 0xFF).astype(jnp.uint8)
+        else:
+            # Long-context path: rank and byte as two sort operands, so
+            # ranks up to the full int32 range stay exact.
+            rk = jnp.where(valid, rank_pos, _PADI)
+            pb = prevb.astype(jnp.int32)
+            rk, pb = jax.lax.sort((rk, pb), num_keys=1, is_stable=False)
+            rk, pb = _merge_split_sort((rk, pb), "lanes", D, num_keys=1)
+            bwt_shard = pb.astype(jnp.uint8)
         ptr = jax.lax.psum(
             jnp.sum(jnp.where(idx == 0, rank_pos, 0)), "lanes"
         )

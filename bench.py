@@ -180,6 +180,7 @@ def main() -> None:
     wall_vs_device = 0.0
     wall_vs_device_60mb = 0.0
     mbps60 = 0.0
+    bench_error = ""
     try:
         dev_ms = sum(v for v in stages.values() if isinstance(v, (int, float)))
         if dev_ms > 0:
@@ -205,8 +206,10 @@ def main() -> None:
             )
     except AssertionError:
         raise
-    except Exception:
-        pass
+    except Exception as e:
+        # A broken 60MB path must not look like a missing measurement:
+        # record the failure so zeroed fields are attributable.
+        bench_error = f"{type(e).__name__}: {e}"[:200]
 
     print(
         json.dumps(
@@ -225,6 +228,7 @@ def main() -> None:
                     "MBps_60mb": round(mbps60, 3),
                     "wall_vs_device_60mb": wall_vs_device_60mb,
                     "stage_ms_per_block": stages,
+                    **({"bench_error": bench_error} if bench_error else {}),
                 },
             }
         )

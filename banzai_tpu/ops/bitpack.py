@@ -51,10 +51,16 @@ def canonical_words(tables: jax.Array, num_syms: jax.Array) -> jax.Array:
     return fci + ranks
 
 
-def pack_entries(
-    vals: jax.Array, lens: jax.Array, nwords: int
-) -> tuple[jax.Array, jax.Array]:
-    """Scatter (value, bit-length) entries MSB-first into uint32 words."""
+def splice_entries(
+    vals: jax.Array, lens: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-entry word contributions, shared by both packing back ends.
+
+    Returns (w, hi2, total): entry i contributes the 32-bit field
+    ``hi2[i]`` to word ``w[i]`` (disjoint bit fields per word, so OR ==
+    ADD), plus the scalar total bit count.  Arrays carry one appended
+    sentinel entry that catches the last real entry's spill.
+    """
     # Sentinel entry: receives the last real entry's spill (see hi2).
     lens = jnp.concatenate([lens.astype(jnp.int32), jnp.zeros(1, jnp.int32)])
     vals = jnp.concatenate([vals.astype(jnp.uint32), jnp.zeros(1, jnp.uint32)])
@@ -88,6 +94,14 @@ def pack_entries(
     # hi (disjoint fields; the appended sentinel catches the last spill),
     # and the whole word assembly needs ONE contribution stream.
     hi2 = hi | jnp.concatenate([jnp.zeros(1, jnp.uint32), lo[:-1]])
+    return w, hi2, total
+
+
+def pack_entries(
+    vals: jax.Array, lens: jax.Array, nwords: int
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter (value, bit-length) entries MSB-first into uint32 words."""
+    w, hi2, total = splice_entries(vals, lens)
     # Word assembly without scatters: contributions to a word are a
     # contiguous run of entries (w is sorted), and OR == ADD for disjoint
     # bit fields, so word x is a difference of wrapping prefix sums over

@@ -31,6 +31,48 @@ _BIG = np.int32(1 << 26)  # > any merge key (2*(M+1) < 2^22); np: no device put 
 _PAD2 = np.int32(1 << 30)  # > any packed slot key ((j_slot << 9) < 2^29)
 
 
+def rle2_entries(
+    mtf_idx: jax.Array, n: jax.Array, num_names: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """The RLE2 entry stream shared by both expansion back ends.
+
+    One entry per emit lane (nonzero MTF index or the EOB sentinel at
+    position ``n``), covering output slots [off, off + width): its first
+    ``width - 1`` slots are the zero-run's bijective-base-2 digits of
+    ``zp1`` and its last slot is the symbol ``val``.  Dead lanes carry
+    width 0.  Returns (off, width, zp1, val, out_len), all int32[N+1]
+    except the scalar out_len.
+    """
+    N = mtf_idx.shape[0]
+    M = N + 1
+    eob = num_names + 1
+    pos = jnp.arange(M, dtype=jnp.int32)
+    is_eob = pos == n
+    ext = jnp.concatenate([mtf_idx, jnp.zeros(1, jnp.int32)])
+    nz = (ext > 0) & (pos < n)
+    emit = nz | is_eob
+
+    # Previous emit position (exclusive cummax).
+    marked = jnp.where(emit, pos, -1)
+    prev = jnp.concatenate(
+        [jnp.full(1, -1, jnp.int32), jax.lax.cummax(marked, axis=0)[:-1]]
+    )
+    zrun = jnp.where(emit, pos - prev - 1, 0)
+
+    # Digit count = bitlength(zrun + 1) - 1, exact via comparison ladder.
+    zp1 = zrun + 1
+    nd = jnp.zeros(M, jnp.int32)
+    for k in range(1, _MAX_DIGITS + 1):
+        nd = nd + (zp1 >= (1 << k)).astype(jnp.int32)
+
+    emit_i = emit.astype(jnp.int32)
+    width = (nd + 1) * emit_i
+    ends = jnp.cumsum(width)                            # inclusive
+    off = ends - width                                  # exclusive
+    val = jnp.where(is_eob, eob, ext + 1)
+    return off, width, zp1, val, ends[-1]
+
+
 def rle2_device(
     mtf_idx: jax.Array,
     n: jax.Array,
@@ -53,38 +95,14 @@ def rle2_device(
     """
     N = mtf_idx.shape[0]
     M = N + 1
-    eob = num_names + 1
     pos = jnp.arange(M, dtype=jnp.int32)
-    is_eob = pos == n
-    nz = (jnp.concatenate([mtf_idx, jnp.zeros(1, jnp.int32)]) > 0) & (pos < n)
-    emit = nz | is_eob
-
-    # Previous emit position (exclusive cummax).
-    marked = jnp.where(emit, pos, -1)
-    prev = jnp.concatenate(
-        [jnp.full(1, -1, jnp.int32), jax.lax.cummax(marked, axis=0)[:-1]]
-    )
-    zrun = jnp.where(emit, pos - prev - 1, 0)
-
-    # Digit count = bitlength(zrun + 1) - 1, exact via comparison ladder.
-    zp1 = zrun + 1
-    nd = jnp.zeros(M, jnp.int32)
-    for k in range(1, _MAX_DIGITS + 1):
-        nd = nd + (zp1 >= (1 << k)).astype(jnp.int32)
-
-    emit_i = emit.astype(jnp.int32)
-    width = (nd + 1) * emit_i
-    ends = jnp.cumsum(width)                            # inclusive
-    off = ends - width                                  # exclusive
-    out_len = ends[-1]
+    off, width, zp1, val, out_len = rle2_entries(mtf_idx, n, num_names)
+    emit = width > 0
 
     # --- merge entries with output slots -----------------------------------
     # Entry lane (emit only): key 2*off (even, sorts before the slot it
     # starts covering); slot lane j: key 2*j + 1.  zp1 (21 bits) and the
     # symbol value (9 bits) ride as one packed payload operand.
-    val = jnp.where(
-        is_eob, eob, jnp.concatenate([mtf_idx, jnp.zeros(1, jnp.int32)]) + 1
-    )
     packed = zp1 | (val << 21)
     e_key = jnp.where(emit, off * 2, _BIG)
     keys = jnp.concatenate([e_key, pos * 2 + 1])

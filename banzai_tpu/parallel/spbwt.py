@@ -9,8 +9,9 @@ O(N/D) — the input block itself enters sharded, and no collective ever
 materializes an O(N) array on one device:
 
   * each device owns a contiguous shard of positions; round-0 prefix keys
-    read at most 2 bytes past the shard (a 2-byte neighbour halo + the
-    2-byte global head for the cyclic wrap — two tiny static exchanges);
+    and the chain-pass comparisons read at most _SP_HALO bytes past the
+    shard (a neighbour halo + the global head for the cyclic wrap — two
+    tiny static exchanges);
   * ranks live in POSITION space, sharded like the input.  The doubling
     round's shifted-rank lookup ``rank[(p + k) mod n]`` is a *uniform
     shift*, not a gather: a barrel roll — ceil(log2 D) static ppermute
@@ -29,6 +30,13 @@ materializes an O(N) array on one device:
   * sorted-space ranks return to position space by a second merge-split
     (sort by position) — after it, device d holds exactly the ranks of
     its own contiguous positions, because positions are dealt evenly;
+  * round 0 sorts a 7-byte packed prefix and is followed by a sharded
+    tandem-repeat CHAIN pass (_resolve_chains_sharded — the single-chip
+    analytic trick of ops/bwt.py, with every scan crossing shards via
+    edge ppermutes and D-scalar carries): period-<=6 tie groups — runs
+    after RLE1 are period-5 — resolve in closed form instead of paying
+    plain-doubling round counts (asserted at 256K lanes in
+    tests/test_spbwt.py::test_chain_resolution_round_count_periodic);
   * termination is a global psum of unresolved lanes; a round that
     resolves nothing and splits no group is a fixpoint (identical
     rotations — periodic input), so the loop exits early instead of
@@ -36,11 +44,10 @@ materializes an O(N) array on one device:
 
 Honest perf model: bzip2 blocks are <= 900 KB (level 9), which fits one
 chip's HBM ~100x over, and the single-chip path additionally has packed
-round-1 keys, octupling rounds, tandem-chain resolution and the compact
-tier cascade that this sharded formulation does not replicate (periodic
-inputs here take plain-doubling round counts until the fixpoint check
-fires) — so for *this* format the block-DP axis is strictly better and
-this path is the long-context capability: per-device memory is O(N/D)
+15-byte round-1 keys, octupling rounds and the compact tier cascade that
+this sharded formulation does not replicate — so for *this* format the
+block-DP axis is strictly better and this path is the long-context
+capability: per-device memory is O(N/D)
 by construction (validated by the compiled memory analysis in
 tests/test_spbwt.py at 1M lanes), so inputs that exceed one chip's
 memory shard across the mesh with all traffic on ICI.
@@ -128,16 +135,111 @@ def _carry_max(local_last: jax.Array, axis: str, D: int) -> jax.Array:
     return jnp.max(jnp.where(mask, allv, jnp.int32(-1)))
 
 
+def _carry_min_rev(local_min: jax.Array, axis: str, D: int, big) -> jax.Array:
+    """Exclusive suffix-min over devices (the mirror of _carry_max)."""
+    allv = jax.lax.all_gather(local_min, axis)
+    me = jax.lax.axis_index(axis)
+    mask = jnp.arange(D) > me
+    return jnp.min(jnp.where(mask, allv, big))
+
+
+_SP_QMAX = 6              # chain periods resolved analytically (< k = 7)
+_SP_HALO = 13             # shard halo bytes: prefix7 at offset _SP_QMAX
+
+
+def _resolve_chains_sharded(
+    r_s, p_s, cmp_s, n, idx, me, D, right_perm, left_perm
+):
+    """Sharded mirror of ops.bwt._resolve_chains (see its docstring for
+    the tandem-repeat argument): resolve arithmetic tie chains with step
+    q <= _SP_QMAX after round 0's k=7 sort, in sorted space.
+
+    All scans cross shard boundaries with 1-element ppermute edges plus
+    D-scalar all_gather carries (prefix-max left-to-right, suffix-min
+    right-to-left) — per-device memory stays O(m).  Returns the corrected
+    rank_sorted and the globally-resolved (lanes, groups) counts.
+    """
+    m = r_s.shape[0]
+    slot_valid = idx < n
+
+    def prev_of(x, fill):
+        e = _edge(x[-1:], "lanes", right_perm, me > 0, fill)
+        return jnp.concatenate([e[None], x[:-1]])
+
+    def next_of(x, fill):
+        e = _edge(x[:1], "lanes", left_perm, me < D - 1, fill)
+        return jnp.concatenate([x[1:], e[None]])
+
+    def scan_max(marked):
+        local = jax.lax.cummax(marked, axis=0)
+        carry = _carry_max(local[-1], "lanes", D)
+        return jnp.maximum(local, carry)
+
+    same = (r_s == prev_of(r_s, -1)) & slot_valid
+    is_head = ~same
+    gstart = scan_max(jnp.where(is_head, idx, -1))
+    step = p_s - prev_of(p_s, 0)
+    prev_head = prev_of(is_head.astype(jnp.int32), 1) > 0
+    prev_step = prev_of(step, 0)
+    ok_pair = same & (step >= 1) & (step <= _SP_QMAX)
+    consistent = ok_pair & (prev_head | (step == prev_step))
+    bad = same & ~consistent
+    badmark = scan_max(jnp.where(bad, idx, -1))
+    ok_so_far = badmark < gstart
+
+    is_end = next_of(is_head.astype(jnp.int32), 1) > 0
+    is_end = is_end & slot_valid
+    multi = same | (next_of(same.astype(jnp.int32), 0) > 0)
+
+    # One cross-group comparison per group end, read from the carried
+    # prefix7 relation bits; equal prefixes (fully-cyclic wrap) are true
+    # ties and must NOT be ordered.
+    q = step
+    end_cand = is_end & multi & ok_so_far
+    qsh = 2 * jnp.maximum(q - 1, 0)
+    gt_b = ((cmp_s >> qsh) & 1).astype(bool)
+    eq_b = ((cmp_s >> (qsh + 1)) & 1).astype(bool)
+    apply_g = end_cand & ~eq_b
+    asc = gt_b
+
+    # Broadcast (end slot, apply, asc) back over each group: nearest end
+    # slot at >= own slot, via a distributed reversed cummin.
+    pack = jnp.where(
+        is_end,
+        (idx << 2) | (apply_g.astype(jnp.int32) << 1) | asc.astype(jnp.int32),
+        jnp.int32(2**30),
+    )
+    local = jnp.flip(jax.lax.cummin(jnp.flip(pack), axis=0))
+    carry = _carry_min_rev(local[0], "lanes", D, jnp.int32(2**30))
+    rpack = jnp.minimum(local, carry)
+    end_slot = rpack >> 2
+    apply_lane = ((rpack >> 1) & 1).astype(bool) & slot_valid & multi
+    asc_lane = (rpack & 1).astype(bool)
+
+    j = idx - gstart
+    gsize = end_slot - gstart + 1
+    chain_rank = jnp.where(asc_lane, r_s + j, r_s + (gsize - 1 - j))
+    new_r_s = jnp.where(apply_lane, chain_rank, r_s)
+    resolved_lanes = jax.lax.psum(
+        jnp.sum(apply_lane.astype(jnp.int32)), "lanes"
+    )
+    resolved_groups = jax.lax.psum(
+        jnp.sum((apply_lane & is_end).astype(jnp.int32)), "lanes"
+    )
+    return new_r_s, resolved_lanes, resolved_groups
+
+
 def _edge(x_slice: jax.Array, axis: str, perm, active, fill) -> jax.Array:
     """A 1-element shard-boundary exchange; ``fill`` where not receiving."""
     got = jax.lax.ppermute(x_slice, axis, perm)
     return jnp.where(active, got[0], jnp.asarray(fill, x_slice.dtype))
 
 
-@partial(jax.jit, static_argnames=("mesh",))
+@partial(jax.jit, static_argnames=("mesh", "debug_rounds"))
 def bwt_rotations_sharded(
-    block: jax.Array, n: jax.Array, *, mesh: Mesh
-) -> tuple[jax.Array, jax.Array]:
+    block: jax.Array, n: jax.Array, *, mesh: Mesh,
+    debug_rounds: bool = False,
+) -> tuple[jax.Array, ...]:
     """Wrap-around BWT of ``block[:n]`` with the sort sharded over ``mesh``.
 
     Same contract as ops.bwt.bwt_rotations: uint8[N] padded block (N must
@@ -243,31 +345,105 @@ def bwt_rotations_sharded(
             )
             return rank_sorted, unres, groups
 
-        # ---- Round 0: 3-byte packed prefix, halo-exchanged ------------------
-        # Keys read <= 2 bytes past the shard: the right neighbour's first
-        # 2 bytes, plus the global head b[0:2] for the <= 2 lanes whose
-        # prefix wraps past n (they sit just below position n).
-        tail2 = jax.lax.ppermute(b32[:2], "lanes", left_perm)
-        tail2 = jnp.where(me < D - 1, tail2, 0)
-        head2 = jax.lax.all_gather(b32[:2], "lanes")[0]
-        ext = jnp.concatenate([b32, tail2, head2])          # [m + 4]
+        # ---- Round 0 --------------------------------------------------------
+        # With shards big enough to cover the halo (always, outside tiny
+        # unit-test meshes): a 7-byte prefix — k1 = bytes 0..2 (3 bytes,
+        # so a valid key never collides with the _PAD sentinel), k2 =
+        # bytes 3..6 — so k = 7 > _SP_QMAX and the tandem-chain pass can
+        # resolve every period-<=6 tie group analytically (runs after
+        # RLE1 are period-5 "aaaaC" repeats; see ops/bwt.py's single-chip
+        # pass).  Keys + chain comparisons read at most _SP_HALO bytes
+        # past the shard: the right neighbour's head plus the global head
+        # for the lanes whose prefix wraps past n.
+        chains = m >= _SP_HALO
+        halo = _SP_HALO if chains else 2
+        tailh = jax.lax.ppermute(b32[:halo], "lanes", left_perm)
+        tailh = jnp.where(me < D - 1, tailh, 0)
+        headh = jax.lax.all_gather(b32[:halo], "lanes")[0]
+        ext = jnp.concatenate([b32, tailh, headh])      # [m + 2*halo]
 
         def bref(off: int):
-            wrap = valid & (idx + off >= n)                 # off <= 2
-            j = jnp.where(wrap, m + 2 + (idx + off - n), il + off)
+            wrap = valid & (idx + off >= n)             # off < halo
+            j = jnp.where(wrap, m + halo + (idx + off - n), il + off)
             return ext[j]
 
-        key0 = jnp.where(
-            valid, (bref(0) << 16) | (bref(1) << 8) | bref(2), _PAD
-        )
-        zero_k = jnp.zeros_like(key0)
-        k1, k2, sidx = jax.lax.sort(
-            (key0, zero_k, idx), num_keys=2, is_stable=False
-        )
-        k1, k2, sidx = _merge_split_sort(
-            (k1, k2, sidx), "lanes", D, num_keys=2
-        )
-        rank_sorted, unres, groups = relabel(k1, k2)
+        if chains:
+            def prefix7(off: int):
+                ka = (
+                    (bref(off) << 16) | (bref(off + 1) << 8)
+                    | bref(off + 2)
+                )
+                kb = (
+                    (bref(off + 3) << 24) | (bref(off + 4) << 16)
+                    | (bref(off + 5) << 8) | bref(off + 6)
+                )
+                return ka, kb
+
+            k1p, k2p = prefix7(0)
+            key1 = jnp.where(valid, k1p, _PAD)
+            key2 = jnp.where(valid, k2p, 0)
+
+            # Chain-resolution precompute (position space, zero gathers):
+            # the lex relation of prefix7(p+q) vs prefix7(p) per period
+            # q, packed as (gt, eq) bit pairs — carried through the sort
+            # with the position (ops/bwt.py's identical trick at k=15).
+            cmpbits = jnp.zeros(m, jnp.int32)
+            for qq in range(1, _SP_QMAX + 1):
+                a1, a2 = prefix7(qq)
+                gt = (a1 > k1p) | ((a1 == k1p) & (a2 > k2p))
+                eq = (a1 == k1p) & (a2 == k2p)
+                cmpbits = cmpbits | (
+                    gt.astype(jnp.int32) << (2 * (qq - 1))
+                ) | (eq.astype(jnp.int32) << (2 * (qq - 1) + 1))
+
+            if N <= (1 << 20):
+                # Position and cmp bits share one uint32 key: positions
+                # are unique, so ties never reach the cmp bits, and
+                # within-group ascending-position order (which the chain
+                # pass needs) is free.
+                sidx_c = (idx.astype(jnp.uint32) << 12) | cmpbits.astype(
+                    jnp.uint32
+                )
+                ops = jax.lax.sort(
+                    (key1, key2, sidx_c), num_keys=3, is_stable=False
+                )
+                ops = _merge_split_sort(ops, "lanes", D, num_keys=3)
+                k1, k2, oc = ops
+                sidx = (oc >> 12).astype(jnp.int32)
+                cmp_s = (oc & 0xFFF).astype(jnp.int32)
+            else:
+                # Long-context layout: position as the tie key, cmp bits
+                # as a fourth operand.
+                ops = jax.lax.sort(
+                    (key1, key2, idx.astype(jnp.uint32), cmpbits),
+                    num_keys=3, is_stable=False,
+                )
+                ops = _merge_split_sort(ops, "lanes", D, num_keys=3)
+                k1, k2, su, cmp_s = ops
+                sidx = su.astype(jnp.int32)
+            rank_sorted, unres, groups = relabel(k1, k2)
+            rank_sorted, dl, dg = _resolve_chains_sharded(
+                rank_sorted, sidx, cmp_s, n, idx, me, D,
+                right_perm, left_perm,
+            )
+            unres = unres - dl
+            groups = groups - dg
+            k0 = 7
+        else:
+            # Tiny-shard fallback (unit-test meshes): 3-byte prefix, no
+            # chain pass.
+            key0 = jnp.where(
+                valid, (bref(0) << 16) | (bref(1) << 8) | bref(2), _PAD
+            )
+            zero_k = jnp.zeros_like(key0)
+            k1, k2, sidx = jax.lax.sort(
+                (key0, zero_k, idx), num_keys=2, is_stable=False
+            )
+            k1, k2, sidx = _merge_split_sort(
+                (k1, k2, sidx), "lanes", D, num_keys=2
+            )
+            rank_sorted, unres, groups = relabel(k1, k2)
+            k0 = 3
         rank_pos = to_position_space(sidx, rank_sorted)
 
         # ---- Doubling rounds ------------------------------------------------
@@ -298,8 +474,8 @@ def bwt_rotations_sharded(
                 jnp.where(done, 0, 1).astype(jnp.int32),
             )
 
-        cont0 = jnp.where((unres == 0) | (3 >= n), 0, 1).astype(jnp.int32)
-        state = (jnp.int32(3), rank_pos, unres, groups, cont0)
+        cont0 = jnp.where((unres == 0) | (k0 >= n), 0, 1).astype(jnp.int32)
+        state = (jnp.int32(k0), rank_pos, unres, groups, cont0)
         state = jax.lax.while_loop(lambda s: s[4] > 0, body, state)
         rank_pos = state[1]
 
@@ -339,14 +515,19 @@ def bwt_rotations_sharded(
         ptr = jax.lax.psum(
             jnp.sum(jnp.where(idx == 0, rank_pos, 0)), "lanes"
         )
-        return bwt_shard, ptr[None]
+        return bwt_shard, ptr[None], state[0][None]
 
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P("lanes"), P()),
-        out_specs=(P("lanes"), P("lanes")),
+        out_specs=(P("lanes"), P("lanes"), P("lanes")),
         check_vma=False,
     )
-    bwt, ptrs = sharded(block, jnp.broadcast_to(n, (D,)))
+    bwt, ptrs, kf = sharded(block, jnp.broadcast_to(n, (D,)))
+    if debug_rounds:
+        # Diagnostic: the rank coverage k when the doubling loop exited
+        # (k0 == no doubling round ran) — the round-count evidence for
+        # the chain pass (tests/test_spbwt.py).
+        return bwt, ptrs[0], kf[0]
     return bwt, ptrs[0]

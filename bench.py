@@ -1,5 +1,11 @@
 #!/usr/bin/env python
-"""Benchmark: encode MB/s per chip at level 9 on a Silesia-stand-in corpus.
+"""Benchmark: encode MB/s per chip at level 9 on a silesia-proxy corpus.
+
+The headline corpus mirrors silesia's category mix from in-image analogs
+(build_silesia_proxy: prose/binary/database/source/sensor/xml at silesia's
+fractions — the real corpus is unfetchable here, zero egress) and the
+detail carries per-region MB/s plus the rounds-1-4 mixed corpus number for
+round-over-round comparability.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
@@ -25,7 +31,12 @@ import numpy as np
 
 
 def build_corpus(target_mb: float = 20.0) -> bytes:
-    """Deterministic mixed corpus: source text, binary, runs, periodic."""
+    """Deterministic mixed corpus: source text, binary, runs, periodic.
+
+    The original (rounds 1-4) headline corpus; kept as a secondary number
+    (``mixed20_MBps``) so the round-over-round progression stays
+    comparable, and because its run/periodic stressors exercise the
+    chain-resolution paths the silesia proxy's regions mostly don't."""
     parts: list[bytes] = []
     # Text: jax's own source tree (stable inside the image).
     files = sorted(glob.glob("/opt/venv/lib/python3.12/site-packages/jax/_src/*.py"))
@@ -42,6 +53,93 @@ def build_corpus(target_mb: float = 20.0) -> bytes:
     target = int(target_mb * 1e6)
     reps = max(1, target // len(blob) + 1)
     return (blob * reps)[:target]
+
+
+def _tile(blob: bytes, size: int) -> bytes:
+    reps = max(1, size // max(len(blob), 1) + 1)
+    return (blob * reps)[:size]
+
+
+def _read_sorted(pattern: str, cap: int) -> bytes:
+    out, total = [], 0
+    for f in sorted(glob.glob(pattern)):
+        try:
+            b = open(f, "rb").read()
+        except OSError:
+            continue
+        out.append(b)
+        total += len(b)
+        if total >= cap:
+            break
+    return b"".join(out)[:cap]
+
+
+def build_silesia_proxy(target_mb: float = 20.0):
+    """Silesia-composition proxy from in-image analogs (the corpus itself
+    cannot be fetched: zero egress).  Region fractions follow silesia's
+    category mix (prose 27.5% = dickens+reymont+webster, executable
+    binary 27.1% = mozilla+ooffice, database 24.1% = nci+osdb+sao,
+    source 10.2% = samba, sensor imagery 8.7% = mr+x-ray, xml 2.5%).
+
+    Returns (corpus_bytes, [(region_name, start, end), ...]) so the bench
+    can report per-region MB/s — a text-heavy stand-in can't flatter the
+    headline when every region is timed and labelled."""
+    t = int(target_mb * 1e6)
+    sp = "/opt/venv/lib/python3.12/site-packages"
+    regions: list[tuple[str, bytes]] = []
+    # prose: package METADATA files — English prose + light markup
+    # (dickens/webster analog: natural-language text).
+    regions.append(
+        ("prose", _tile(_read_sorted(f"{sp}/*.dist-info/METADATA",
+                                     4 << 20), int(t * 0.275)))
+    )
+    # binary: ELF .text/.rodata of the largest in-image shared object
+    # (mozilla/ooffice analog: compiled executable bytes).
+    so = f"{sp}/tensorstore/_tensorstore.cpython-312-x86_64-linux-gnu.so"
+    try:
+        with open(so, "rb") as f:
+            f.seek(1 << 20)                      # skip headers into .text
+            elf = f.read(int(t * 0.271))
+    except OSError:
+        elf = b""
+    regions.append(("binary", _tile(elf, int(t * 0.271))))
+    # database: wheel RECORD files (path,hash,size rows — nci/osdb analog:
+    # highly structured records) + a packed fixed-width binary table
+    # (sao analog: binary star-catalog records).
+    rec = _read_sorted(f"{sp}/*.dist-info/RECORD", 8 << 20)
+    rng = np.random.default_rng(7)
+    ids = np.arange(60_000, dtype=np.int32)
+    mag = (rng.normal(9.0, 1.5, 60_000) * 100).astype(np.int16)
+    ra = rng.integers(0, 1 << 24, 60_000).astype(np.int32)
+    table = np.zeros(60_000, dtype=[("id", "<i4"), ("ra", "<i4"),
+                                    ("mag", "<i2"), ("pad", "<i2")])
+    table["id"], table["ra"], table["mag"] = ids, ra, mag
+    db = _tile(rec, int(t * 0.16)) + _tile(table.tobytes(), int(t * 0.081))
+    regions.append(("database", db))
+    # source: C headers (samba analog: systems source code).
+    regions.append(
+        ("source", _tile(_read_sorted("/usr/include/*/*.h", 4 << 20),
+                         int(t * 0.102)))
+    )
+    # sensor: correlated 16-bit-ish walk (mr/x-ray analog: smooth
+    # scanner data, low local entropy, no text structure).
+    walk = (rng.integers(-5, 6, int(t * 0.087)).cumsum() % 4096) >> 4
+    regions.append(("sensor", walk.astype(np.uint8).tobytes()))
+    # xml: iso-codes XML documents.
+    regions.append(
+        ("xml", _tile(_read_sorted("/usr/share/xml/iso-codes/*.xml",
+                                   2 << 20), int(t * 0.025)))
+    )
+    spans, parts, off = [], [], 0
+    for name, blob in regions:
+        parts.append(blob)
+        spans.append((name, off, off + len(blob)))
+        off += len(blob)
+    corpus = b"".join(parts)[:t]
+    spans = [
+        (name, lo, min(hi, t)) for name, lo, hi in spans if lo < t
+    ]  # region fractions sum to ~1.001 of t: clamp the truncated tail
+    return corpus, spans
 
 
 import os
@@ -68,7 +166,7 @@ def _tpu_reachable(timeout_s: int = 240) -> bool:
 
 
 def main() -> None:
-    corpus = build_corpus()
+    corpus, spans = build_silesia_proxy()
     level = 9
     mb = len(corpus) / 1e6
 
@@ -77,7 +175,8 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "metric": "encode MB/s/chip, level 9, 20MB mixed corpus",
+                    "metric": "encode MB/s/chip, level 9, "
+                              "20MB silesia-proxy corpus",
                     "value": 0.0,
                     "unit": "MB/s",
                     "vs_baseline": 0.0,
@@ -122,21 +221,20 @@ def main() -> None:
     mbps = mb / encode_s
 
     # Correctness gates: bit-exact decode, and the north-star size contract
-    # (output <= the quirk-exact banzai model) on three 1MB windows
-    # covering the corpus's text, binary-walk, and runs/periodic regions
-    # (the full-corpus model run would cost ~80s of pure-Python time; the
-    # level 1-9 sweep in tests/test_size_parity.py is the exhaustive gate).
+    # (output <= the quirk-exact banzai model) on three 1MB windows — one
+    # each from the prose, binary and database regions (the full-corpus
+    # model run would cost ~80s of pure-Python time; the level 1-9 sweep
+    # in tests/test_size_parity.py is the exhaustive gate).
     d = subprocess.run(["bzip2", "-d"], input=out, capture_output=True)
     assert d.returncode == 0 and d.stdout == corpus, "round-trip failed"
     from banzai_tpu.oracle import banzai_compress
 
-    n = len(corpus)
-    for lo, hi in [(0, 10**6), (n - 2 * 10**6, n - 10**6), (n - 10**6, n)]:
-        window = corpus[lo:hi]
+    for name, lo, _hi in spans[:3]:
+        window = corpus[lo : lo + 10**6]
         ours_w = compress(window, level)
         banzai_w = banzai_compress(window, level)
         assert len(ours_w) <= len(banzai_w), (
-            f"banzai size gate failed on [{lo}:{hi}]: "
+            f"banzai size gate failed on {name}: "
             f"{len(ours_w)} > {len(banzai_w)}"
         )
 
@@ -158,6 +256,47 @@ def main() -> None:
         if isinstance(e, AssertionError):
             raise
         lvl1_mbps = -1.0                     # backend hiccup: don't fail bench
+
+    # Per-region throughput: each region tiled to a fixed 12 MB stream
+    # (same [2]/[8]/[4] batch-shape ladder as the headline run — no new
+    # compiles) and timed once against a single bzip2 -9 run.  12 MB
+    # includes the ~0.2 s fill/drain edges, so region numbers read a few
+    # MB/s under the 20 MB headline; they are for MIX HONESTY (no region
+    # can hide behind the average), not for peak claims.
+    regions: dict[str, dict] = {}
+    try:
+        for name, lo, hi in spans:
+            blob = _tile(corpus[lo:hi], 12_000_000)
+            t0 = time.time()
+            out_r = compress(blob, level)
+            s_r = time.time() - t0
+            t0 = time.time()
+            subprocess.run(["bzip2", "-9", "-c"], input=blob,
+                           capture_output=True)
+            s_bz = time.time() - t0
+            regions[name] = {
+                "MBps": round(12.0 / s_r, 2),
+                "vs_bzip2": round(s_bz / s_r, 2),
+            }
+    except Exception as e:
+        regions = {"error": str(e)[:120]}
+
+    # Legacy rounds-1-4 mixed corpus (source + walk + runs/periodic): the
+    # round-over-round comparable number.
+    mixed20_mbps = 0.0
+    try:
+        mixed = build_corpus(20.0)
+        compress(mixed, level)
+        t0 = time.time()
+        out_m = compress(mixed, level)
+        mixed20_mbps = len(mixed) / 1e6 / (time.time() - t0)
+        d_m = subprocess.run(["bzip2", "-d"], input=out_m,
+                             capture_output=True)
+        assert d_m.returncode == 0 and d_m.stdout == mixed, "mixed20 rt"
+    except AssertionError:
+        raise
+    except Exception:
+        mixed20_mbps = -1.0
 
     # Per-stage device breakdown (self-time from an XProf trace of the
     # fused batch jit) so regressions stay attributable round over round.
@@ -190,7 +329,7 @@ def main() -> None:
             wall_vs_device = round(
                 encode_s / (dev_ms * nblocks / 1000.0), 3
             )
-            corpus60 = build_corpus(60.0)
+            corpus60, _ = build_silesia_proxy(60.0)
             compress(corpus60, level)        # warm this length's tail shapes
             t0 = time.time()
             out60 = compress(corpus60, level)
@@ -214,7 +353,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "encode MB/s/chip, level 9, 20MB mixed corpus",
+                "metric": "encode MB/s/chip, level 9, "
+                          "20MB silesia-proxy corpus",
                 "value": round(mbps, 3),
                 "unit": "MB/s",
                 "vs_baseline": round(mbps / bzip2_mbps, 3),
@@ -223,6 +363,8 @@ def main() -> None:
                     "our_bytes": len(out),
                     "bzip2_bytes": len(p.stdout),
                     "corpus_bytes": len(corpus),
+                    "regions_MBps": regions,
+                    "mixed20_MBps": round(mixed20_mbps, 3),
                     "level1_MBps": round(lvl1_mbps, 3),
                     "wall_vs_device": wall_vs_device,
                     "MBps_60mb": round(mbps60, 3),

@@ -529,7 +529,7 @@ def _resolve_chains(r_s, p_s, cmp_s, n, idx, valid):
         (idx << 2) | (apply_g.astype(jnp.int32) << 1) | asc.astype(jnp.int32),
         jnp.int32(2**30),
     )
-    rpack = jnp.flip(jax.lax.cummin(jnp.flip(pack), axis=0))
+    rpack = jax.lax.cummin(pack, axis=0, reverse=True)
     end_slot = rpack >> 2
     apply_lane = ((rpack >> 1) & 1).astype(bool) & slot_valid & multi
     asc_lane = (rpack & 1).astype(bool)

@@ -209,7 +209,7 @@ def _resolve_chains_sharded(
         (idx << 2) | (apply_g.astype(jnp.int32) << 1) | asc.astype(jnp.int32),
         jnp.int32(2**30),
     )
-    local = jnp.flip(jax.lax.cummin(jnp.flip(pack), axis=0))
+    local = jax.lax.cummin(pack, axis=0, reverse=True)
     carry = _carry_min_rev(local[0], "lanes", D, jnp.int32(2**30))
     rpack = jnp.minimum(local, carry)
     end_slot = rpack >> 2

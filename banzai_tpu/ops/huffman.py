@@ -88,15 +88,28 @@ def pm_lengths(freqs: jax.Array, num_syms: jax.Array) -> jax.Array:
     iota = jnp.broadcast_to(sym_ids, w.shape)
     ws, worder = jax.lax.sort((w, iota), num_keys=1, dimension=w.ndim - 1)
 
-    leaf_tag = jnp.zeros_like(ws)
+    # Each level used to sort (weight, tag) as a 2-operand [.., 2S] sort
+    # — the single largest fixed per-block cost (0.94 ms/block at level
+    # 1).  Weights are < _INF_W = 2^29, so the lexicographic
+    # (weight, tag) key packs losslessly into ONE int32,
+    # (w << 1) | tag < 2^31: integer order == the old 2-key order
+    # bit-for-bit (ties order leaves, tag 0, before packages), the sort
+    # carries one operand instead of two, and the tags come back as the
+    # low bit.  (A rank-counting merge that removed the sort entirely was
+    # measured and REVERTED: its two take_along_axis reads per level cost
+    # 16.6 ms/block on this chip — gathers remain the most expensive
+    # primitive, see the BWT docstring.)
+    leaf_k = (ws << 1)                               # tag 0: leaves
     pair_w = jnp.full(ws.shape, _INF_W, jnp.int32)   # level-1 "pairs": none
-    pair_tag = jnp.ones_like(ws)
     tag_cum_levels = []
     for _ in range(L):
-        mw = jnp.concatenate([ws, pair_w], axis=-1)          # [..., 2S]
-        mtag = jnp.concatenate([leaf_tag, pair_tag], axis=-1)
-        mw, mtag = jax.lax.sort((mw, mtag), num_keys=2, dimension=mw.ndim - 1)
-        tag_cum_levels.append(jnp.cumsum(mtag, axis=-1))
+        mk = jax.lax.sort(
+            jnp.concatenate([leaf_k, (pair_w << 1) | 1], axis=-1),
+            dimension=ws.ndim - 1,
+            is_stable=False,
+        )                                                    # [..., 2S]
+        tag_cum_levels.append(jnp.cumsum(mk & 1, axis=-1))
+        mw = mk >> 1
         pair_w = jnp.minimum(
             mw[..., 0::2] + mw[..., 1::2], _INF_W
         )                                                    # [..., S]

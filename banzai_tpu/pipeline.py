@@ -286,7 +286,11 @@ def compress_blocks_iter(
     ``hybrid_jobs`` (default BANZAI_HYBRID_JOBS, else 0): host worker
     processes that encode stolen blocks concurrently with the device —
     byte-identical output at any job count (the ordered stitch is the
-    only shared state)."""
+    only shared state).  Workers use the spawn start method (fork is
+    unsafe under JAX threads, and the accelerator env must be scrubbed),
+    so a SCRIPT that passes hybrid_jobs > 0 must guard its entry point
+    with ``if __name__ == "__main__":`` — standard multiprocessing
+    semantics: spawn re-imports the main module in each worker."""
     N = _padded_len(level)
     nseg = (N + 1 + SEGMENT_WIDTH - 1) // SEGMENT_WIDTH
     nwords = _nwords(N, nseg)

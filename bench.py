@@ -214,8 +214,8 @@ def main() -> None:
     # single runs by hundreds of ms on both sides).
     compress(corpus, level)
     encode_s = float("inf")
-    for _ in range(2):
-        t0 = time.time()
+    for _ in range(3):     # best-of-3: shared-chip tenancy swings single
+        t0 = time.time()   # runs by 1.5x+ between sessions (STATUS r5)
         out = compress(corpus, level)
         encode_s = min(encode_s, time.time() - t0)
     mbps = mb / encode_s

@@ -23,6 +23,10 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
+# Set by run_trace: measured jit wall per block (ms) — self-time sum plus
+# per-op scheduling and the relay round trip.
+LAST_FUSED_WALL_MS_PER_BLOCK: float = 0.0
+
 
 def run_trace(batch: int, quiet: bool = False, level: int = 9) -> str:
     import jax
@@ -67,6 +71,11 @@ def run_trace(batch: int, quiet: bool = False, level: int = 9) -> str:
     for _ in range(3):
         call()
     wall = (time.perf_counter() - t0) / 3 * 1000
+    # The measured jit wall exceeds the trace's self-time sum by per-op
+    # scheduling + the relay round trip; exported so the bench can report
+    # the wall-vs-device ratio against the number a caller actually pays.
+    global LAST_FUSED_WALL_MS_PER_BLOCK
+    LAST_FUSED_WALL_MS_PER_BLOCK = wall / batch
     if not quiet:
         print(
             f"fused wall: {wall:.1f} ms/batch = {wall / batch:.2f} ms/block"

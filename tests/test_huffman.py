@@ -208,3 +208,40 @@ def test_banzai_bits_from_split_matches_device_plan(seed, n, ns):
     assert not banzai_wins(split, ns, n, h_bits)
     assert banzai_wins(split, ns, n, h_bits + 1)
     assert not banzai_wins(split, ns, n, h_bits - 10_000)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pm_lengths_device_packed_key_matches_host(seed):
+    """Device pm_lengths (single packed-key level sorts) vs host oracle.
+
+    The packed key ((w << 1) | is_package) must reproduce the
+    lexicographic (weight, tag) order bit-for-bit; the adversarial
+    classes here are the ones that stress tie order: all-equal weights
+    (every merge slot ties), near-capacity totals (weights close to the
+    2^29 sentinel headroom), minimal alphabets, and zipf skew hitting
+    the 17-bit cap."""
+    import jax
+    import jax.numpy as jnp
+
+    from banzai_tpu.ops.huffman import pm_lengths
+
+    rng = np.random.default_rng(seed)
+    ns = int(rng.integers(3, 259))
+    kind = seed % 5
+    f = np.zeros(258, np.int64)
+    if kind == 0:
+        f[:ns] = rng.integers(0, 5, ns)          # tiny counts, dense ties
+    elif kind == 1:
+        f[:ns] = rng.integers(0, 900_001, ns)    # production magnitudes
+    elif kind == 2:
+        f[:ns] = 1                               # all ties
+    elif kind == 3:
+        f[:ns] = rng.zipf(1.5, ns).clip(0, 10**5)  # cap-binding skew
+    else:
+        f[:ns] = rng.integers(1, 3, ns)          # two-value ties
+    dev = np.asarray(
+        jax.jit(pm_lengths)(jnp.asarray(f, jnp.int32), jnp.int32(ns))
+    )
+    host = pm_code_lengths(f[:ns])
+    assert (dev[:ns] == host).all()
+    assert (dev[ns:] == 0).all()
